@@ -1,0 +1,219 @@
+"""Batched secp256k1 prime-field arithmetic (mod p = 2^256 - 2^32 - 977).
+
+All values are limb-major ``(8, *batch)`` uint32 arrays (see `ops.u256`).
+Representation is *lazy*: values live in [0, 2^256) and are only guaranteed
+canonical (< p) after `norm`. Because 2^256 ≡ D (mod p) with
+D = 0x1000003D1, every overflow/underflow is folded by adding/subtracting D
+— the same fast-reduction identity the reference uses in `ModMulK1`
+(`secp256k1/IntMod.cpp:855-915`), done here branch-free on uint32 lanes.
+
+Inversion: `inv` is Fermat (fixed-exponent square-and-multiply, branch-free);
+`batch_inv` is Montgomery's trick (`secp256k1/IntGroup.cpp:36-57`) mapped to
+two `lax.associative_scan` product sweeps + ONE Fermat inversion, amortising
+to a few muls per element at O(log B) depth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import u256
+from .u256 import (
+    NLIMBS, U32, MASK16,
+    add256, sub256, mul_512_halves, sqr_512_halves, from_halves, bcast_const,
+)
+
+P_INT = 2**256 - 2**32 - 977
+N_INT = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+D_INT = 2**32 + 977          # 2^256 mod p
+D977 = np.uint32(977)
+
+# GLV endomorphism X-map constants (SECP256K1.cpp:167-195): multiplying X by
+# beta (beta^2) maps the point of key k to the point of key lambda*k
+# (lambda^2*k). Used for the x6 endomorphism speedup in address/xpoint modes.
+BETA_INT = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+BETA2_INT = 0x851695D49A83F8EF919BB86153CBCB16630FB68AED0A766A3EC693D68E6AFA40
+
+
+def const(v: int, ndim: int = 2) -> np.ndarray:
+    """Field constant broadcastable against (8, *batch) with batch rank ndim-1."""
+    return bcast_const(v, ndim)
+
+
+def _fold_carry(s, carry):
+    """s + carry*D (mod 2^256), for carry in {0,1}; result exact (no wrap)."""
+    # carry*D as limbs: limb0 = carry*977, limb1 = carry.
+    zeros = jnp.zeros_like(s[0])
+    dk = jnp.stack([carry * D977, carry] + [zeros] * (NLIMBS - 2))
+    s2, c2 = add256(s, dk)
+    # second fold: only possible when the first add wrapped, in which case
+    # s2 < D and adding D again cannot wrap.
+    dk2 = jnp.stack([c2 * D977, c2] + [zeros] * (NLIMBS - 2))
+    s3, _ = add256(s2, dk2)
+    return s3
+
+
+def add(a, b):
+    """(a + b) mod p, lazy (result < 2^256)."""
+    s, c = add256(a, b)
+    return _fold_carry(s, c)
+
+
+def sub(a, b):
+    """(a - b) mod p, lazy."""
+    d, borrow = sub256(a, b)
+    zeros = jnp.zeros_like(d[0])
+    dk = jnp.stack([borrow * D977, borrow] + [zeros] * (NLIMBS - 2))
+    d2, b2 = sub256(d, dk)
+    dk2 = jnp.stack([b2 * D977, b2] + [zeros] * (NLIMBS - 2))
+    d3, _ = sub256(d2, dk2)
+    return d3
+
+
+def _reduce_512(h):
+    """32 canonical 16-bit halves (512-bit value, stacked (32, *batch)) ->
+    lazy 256-bit mod p.
+
+    Folds hi*D into lo three times; accumulator bounds stay < 2^19 so all
+    sums fit uint32 before each sequential carry sweep.
+    """
+    batch = h.shape[1:]
+    z1 = jnp.zeros((1,) + batch, U32)
+    z2 = jnp.zeros((2,) + batch, U32)
+    lo, hi = h[:16], h[16:32]
+
+    # ---- fold 1: lo + hi*977 + (hi << 32) over 18 columns ----------------
+    p = hi * D977
+    plo, phi = p & MASK16, p >> 16
+    acc = (jnp.concatenate([lo, z2]) + jnp.concatenate([plo, z2])
+           + jnp.concatenate([z1, phi, z1]) + jnp.concatenate([z2, hi]))
+    r, c = u256.carry_sweep(acc, 18)
+
+    # ---- fold 2: r[:16] + T*D where T = r16 + r17<<16 + c<<32 ------------
+    u = jnp.stack([r[16], r[17], c])        # halves of T (u[2] tiny)
+    pu = u * D977
+    pu_lo, pu_hi = pu & MASK16, pu >> 16
+    z11 = jnp.zeros((11,) + batch, U32)
+    z12 = jnp.zeros((12,) + batch, U32)
+    z13 = jnp.zeros((13,) + batch, U32)
+    acc2 = (r[:16] + jnp.concatenate([pu_lo, z13])
+            + jnp.concatenate([z1, pu_hi, z12])
+            + jnp.concatenate([z2, u, z11]))
+    r2, c2 = u256.carry_sweep(acc2, 16)
+
+    # ---- fold 3: final 1-bit overflow ------------------------------------
+    acc3 = r2 + jnp.concatenate([(c2 * D977)[None], z1, c2[None], z13])
+    r3, _ = u256.carry_sweep(acc3, 16)
+    return from_halves(r3)
+
+
+def mul(a, b):
+    """(a * b) mod p, lazy inputs/output."""
+    return _reduce_512(mul_512_halves(a, b))
+
+
+def sqr(a):
+    """(a * a) mod p (saves ~half the half-limb products vs `mul`)."""
+    return _reduce_512(sqr_512_halves(a))
+
+
+def mul_small(a, k: int):
+    """a * k mod p for a small (< 2^16) Python-int constant."""
+    assert 0 < k < 2**16
+    batch = a.shape[1:]
+    z1 = jnp.zeros((1,) + batch, U32)
+    z13 = jnp.zeros((13,) + batch, U32)
+    ah = u256.to_halves(a)
+    p = ah * np.uint32(k)
+    acc = jnp.concatenate([p & MASK16, z1]) + jnp.concatenate([z1, p >> 16])
+    r, c = u256.carry_sweep(acc, 17)
+    # fold T = r16 + c<<16 (T < 2^17 * k tiny) back in via T*D
+    z12 = jnp.zeros((12,) + batch, U32)
+    z14 = jnp.zeros((14,) + batch, U32)
+    u = jnp.stack([r[16], c])
+    pu = u * D977
+    acc2 = (r[:16] + jnp.concatenate([pu & MASK16, z14])
+            + jnp.concatenate([z1, pu >> 16, z13])
+            + jnp.concatenate([z1, z1, u, z12]))
+    r2, c2 = u256.carry_sweep(acc2, 16)
+    acc3 = r2 + jnp.concatenate([(c2 * D977)[None], z1, c2[None], z13])
+    r3, _ = u256.carry_sweep(acc3, 16)
+    return from_halves(r3)
+
+
+def norm(a):
+    """Canonicalise a lazy value into [0, p). One conditional subtract
+    suffices because lazy values are < 2^256 < 2p."""
+    pc = const(P_INT, a.ndim)
+    d, borrow = sub256(a, jnp.broadcast_to(pc, a.shape))
+    keep = (borrow != 0)[None]
+    return jnp.where(keep, a, d)
+
+
+def pow_const(x, e: int):
+    """x^e mod p for a fixed Python-int exponent.
+
+    MSB-first square-and-multiply as a `lax.scan` over the (static) bit
+    string — keeps the traced graph at one sqr + one mul regardless of
+    exponent length, with a branch-free select per bit."""
+    assert e >= 1
+    bits_list = [int(b) for b in bin(e)[3:]]
+    if not bits_list:
+        return x
+    bits = jnp.asarray(np.array(bits_list, dtype=np.uint32))
+
+    def step(r, bit):
+        r = sqr(r)
+        rm = mul(r, x)
+        r = jnp.where(bit != 0, rm, r)
+        return r, None
+
+    r, _ = jax.lax.scan(step, x, bits)
+    return r
+
+
+def inv(x):
+    """Fermat inversion x^(p-2). ~255 squarings; used once per batch by
+    `batch_inv` (replaces the DRS62 xgcd of `secp256k1/IntMod.cpp:112-470`,
+    which is branch-heavy and hostile to SIMT/SPMD hardware)."""
+    return pow_const(x, P_INT - 2)
+
+
+def sqrt(x):
+    """Modular square root via x^((p+1)/4) (p ≡ 3 mod 4). Lift-X helper,
+    mirrors Secp256K1::GetY (SECP256K1.cpp:675-689)."""
+    return pow_const(x, (P_INT + 1) // 4)
+
+
+def batch_inv(x, axis: int = 1):
+    """Elementwise modular inverse of a batch, Montgomery's trick.
+
+    prefix/suffix product sweeps (lax.associative_scan) + one Fermat
+    inversion of the total product:
+        inv_i = prefix_{i-1} * suffix_{i+1} * inv(total).
+    Cost ~ a few muls per element at O(log B) depth — the TPU mapping of
+    `IntGroup::ModInv` (`secp256k1/IntGroup.cpp:36-57`).
+
+    Zero elements poison the whole batch (as they do in the reference);
+    callers arrange never to invert zero (see walker pivot constraints).
+    """
+    assert axis != 0, "axis 0 is the limb axis"
+    pre = jax.lax.associative_scan(mul, x, axis=axis)
+    suf = jax.lax.associative_scan(mul, x, axis=axis, reverse=True)
+    nbatch = x.shape[axis]
+
+    def take(arr, sl):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = sl
+        return arr[tuple(idx)]
+
+    total = take(pre, slice(nbatch - 1, nbatch))
+    total_inv = inv(total)
+    one_shape = list(x.shape)
+    one_shape[axis] = 1
+    ones = jnp.broadcast_to(const(1, x.ndim), one_shape).astype(U32)
+    left = jnp.concatenate([ones, take(pre, slice(0, nbatch - 1))], axis=axis)
+    right = jnp.concatenate([take(suf, slice(1, nbatch)), ones], axis=axis)
+    return mul(mul(left, right), jnp.broadcast_to(total_inv, x.shape))
