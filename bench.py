@@ -1,0 +1,75 @@
+"""Benchmark driver: measures walker throughput on the attached accelerator
+and prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric: effective keys/s in compressed address/rmd160 mode (the
+reference's north-star counter, `keyhunt.cpp:2850-2962`). Baseline:
+4.76 Mkeys/s — the reference's single-thread address-mode run
+(README.md:244, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_ADDRESS_KEYS_PER_S = 4.76e6
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="compressed",
+                    choices=["compressed", "xpoint", "uncompressed", "eth"])
+    ap.add_argument("--pivots", type=int, default=64)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=15.0)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from keyhunt_tpu import runtime
+    runtime.setup()
+    import jax
+    import numpy as np
+    from keyhunt_tpu.ops import match
+    from keyhunt_tpu.search.walker import WalkerConfig, make_step_fn, seed_pivots
+
+    cfg = WalkerConfig(pivots=args.pivots, width=args.width, steps=args.steps,
+                       mode=args.mode)
+    # one unreachable target: full probe work, no hit traffic
+    t0_, t1_ = match.build_table([(0xDEADBEEF, 0x12345678)])
+    if args.verbose:
+        print(f"[bench] devices={jax.devices()} cfg={cfg}", file=sys.stderr, flush=True)
+    t_setup = time.time()
+    step = make_step_fn(cfg, t0_, t1_)
+    px, py = seed_pivots(cfg, 1 << 65)
+    out = step(px, py)
+    jax.block_until_ready(out)
+    if args.verbose:
+        print(f"[bench] compile+first call {time.time()-t_setup:.1f}s",
+              file=sys.stderr, flush=True)
+
+    # steady state: pivot state chains call-to-call (no result caching possible)
+    calls = 0
+    t0 = time.time()
+    while time.time() - t0 < args.seconds:
+        px, py, hits, counts = step(px, py)
+        calls += 1
+    jax.block_until_ready((px, py))
+    dt = time.time() - t0
+    keys = calls * cfg.keys_per_call * cfg.keys_per_point
+    rate = keys / dt
+    if args.verbose:
+        print(f"[bench] {calls} calls in {dt:.2f}s", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": f"keys_per_sec_{args.mode}",
+        "value": round(rate, 1),
+        "unit": "keys/s",
+        "vs_baseline": round(rate / BASELINE_ADDRESS_KEYS_PER_S, 3),
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

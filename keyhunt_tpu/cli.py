@@ -1,0 +1,135 @@
+"""Command-line interface.
+
+Presents the reference's user surface (`menu()`, keyhunt.cpp:6624-6675)
+with argparse: the same mode names, range/bit flags, and behaviour knobs,
+plus TPU-specific sizing options. Unsupported/no-op flags are accepted
+where harmless so existing keyhunt invocations translate directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import runtime
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="keyhunt-tpu",
+        description="TPU-native secp256k1 key search (keyhunt-compatible surface)")
+    p.add_argument("-m", "--mode", required=True,
+                   choices=["address", "rmd160", "xpoint", "eth", "bsgs", "minikeys", "vanity"],
+                   help="search mode (keyhunt -m)")
+    p.add_argument("-f", "--file", help="target file (keyhunt -f)")
+    p.add_argument("-r", "--range", help="range START:END in hex (keyhunt -r)")
+    p.add_argument("-b", "--bits", type=int, help="search bit range n: [2^(n-1), 2^n) (keyhunt -b)")
+    p.add_argument("-l", "--look", default="compress",
+                   choices=["compress", "uncompress", "both"],
+                   help="address form searched (keyhunt -l)")
+    p.add_argument("-R", "--random", action="store_true", help="random chunk order (keyhunt -R)")
+    p.add_argument("-I", "--stride", default="1", help="key stride in hex/dec (keyhunt -I)")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="accepted for CLI parity; device parallelism is per-chip batch + mesh")
+    p.add_argument("-k", "--kfactor", type=int, default=1, help="BSGS k factor (keyhunt -k)")
+    p.add_argument("-n", "--nvalue", default=None, help="BSGS N per cycle, hex/dec (keyhunt -n)")
+    p.add_argument("-B", "--bsgs-mode", default="sequential",
+                   choices=["sequential", "backward", "both", "random", "dance"],
+                   help="BSGS scheduler (keyhunt -B)")
+    p.add_argument("-S", "--save", action="store_true", help="save/load BSGS tables (keyhunt -S)")
+    p.add_argument("-6", dest="skip_checksum", action="store_true",
+                   help="skip file checksums on load (keyhunt -6)")
+    p.add_argument("-q", "--quiet", action="store_true", help="quiet thread output (keyhunt -q)")
+    p.add_argument("-s", "--stats", type=float, default=5.0,
+                   help="seconds between speed lines (keyhunt -s)")
+    p.add_argument("-M", "--matrix", action="store_true",
+                   help="scrolling stats lines instead of carriage-return updates")
+    p.add_argument("-e", "--endomorphism", action="store_true",
+                   help="accepted; endomorphism search lands in a later kernel revision")
+    p.add_argument("-v", "--vanity", action="append", default=[],
+                   help="vanity prefix target (keyhunt -v)")
+    # TPU sizing
+    p.add_argument("--pivots", type=int, default=64, help="walker pivot count A")
+    p.add_argument("--width", type=int, default=2048, help="walker offset width W")
+    p.add_argument("--steps", type=int, default=8, help="inner scan steps per dispatch")
+    p.add_argument("--max-seconds", type=float, default=None)
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the range across this many devices (default: all)")
+    return p
+
+
+def parse_int(s: str) -> int:
+    s = s.strip()
+    if s.lower().startswith("0x"):
+        return int(s, 16)
+    # keyhunt treats bare range values as hex
+    try:
+        return int(s, 16)
+    except ValueError:
+        return int(s, 10)
+
+
+def resolve_range(args) -> tuple[int, int]:
+    if args.bits:
+        return 1 << (args.bits - 1), (1 << args.bits) - 1
+    if args.range:
+        a, b = args.range.split(":")
+        return parse_int(a), parse_int(b)
+    raise SystemExit("[E] need -r START:END or -b BITS")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    runtime.setup()
+
+    if args.mode == "bsgs":
+        from .search.bsgs import run_bsgs_cli
+        return run_bsgs_cli(args)
+
+    from .io import targets as tio
+    from .search.walker import WalkerConfig
+    from .search.engine import Engine
+
+    if not args.file:
+        raise SystemExit("[E] -f FILE required")
+    start, end = resolve_range(args)
+    stride = parse_int(args.stride)
+
+    if args.mode == "address":
+        ts = tio.load_hash160_file(args.file, is_address=True)
+    elif args.mode == "rmd160":
+        ts = tio.load_hash160_file(args.file, is_address=False)
+    elif args.mode == "xpoint":
+        ts = tio.load_xpoint_file(args.file)
+    elif args.mode == "eth":
+        ts = tio.load_eth_file(args.file)
+    elif args.mode == "vanity":
+        from .search.vanity import run_vanity_cli
+        return run_vanity_cli(args, start, end)
+    elif args.mode == "minikeys":
+        from .search.minikeys import run_minikeys_cli
+        return run_minikeys_cli(args)
+    else:
+        raise SystemExit(f"[E] mode {args.mode} not handled")
+
+    if args.mode in ("address", "rmd160"):
+        wmode = {"compress": "compressed", "uncompress": "uncompressed",
+                 "both": "both"}[args.look]
+    elif args.mode == "xpoint":
+        wmode = "xpoint"
+    else:
+        wmode = "eth"
+
+    print(f"[+] keyhunt-tpu: mode {args.mode}, {ts.count} targets, "
+          f"range {start:#x}:{end:#x}", flush=True)
+    cfg = WalkerConfig(pivots=args.pivots, width=args.width, steps=args.steps,
+                       stride=stride, mode=wmode)
+    eng = Engine(cfg, ts, start, end, random_mode=args.random,
+                 quiet=args.quiet, stats_every=args.stats)
+    eng.run(max_seconds=args.max_seconds)
+    print(f"[+] done: {len(eng.found_keys)} key(s) found", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,68 +152,130 @@ def norm(a):
     return jnp.where(keep, a, d)
 
 
-def pow_const(x, e: int):
+def pow_const(x, e: int, unroll: int = 16):
     """x^e mod p for a fixed Python-int exponent.
 
     MSB-first square-and-multiply as a `lax.scan` over the (static) bit
-    string — keeps the traced graph at one sqr + one mul regardless of
-    exponent length, with a branch-free select per bit."""
+    string with partial unrolling (scan launch latency on real hardware is
+    tens of microseconds per iteration — unrolling amortises it)."""
     assert e >= 1
     bits_list = [int(b) for b in bin(e)[3:]]
     if not bits_list:
         return x
-    bits = jnp.asarray(np.array(bits_list, dtype=np.uint32))
-
-    def step(r, bit):
+    # pad (with harmless leading ... trailing zero-ops is wrong; pad the
+    # FRONT with no-op is also wrong) — instead peel the remainder head
+    # statically so scan length divides `unroll`.
+    rem = len(bits_list) % unroll
+    r = x
+    for b in bits_list[:rem]:
         r = sqr(r)
-        rm = mul(r, x)
-        r = jnp.where(bit != 0, rm, r)
-        return r, None
+        if b:
+            r = mul(r, x)
+    tail = bits_list[rem:]
+    if not tail:
+        return r
+    bits = jnp.asarray(np.array(tail, dtype=np.uint32))
 
-    r, _ = jax.lax.scan(step, x, bits)
+    def step(rr, bit):
+        rr = sqr(rr)
+        rm = mul(rr, x)
+        rr = jnp.where(bit != 0, rm, rr)
+        return rr, None
+
+    r, _ = jax.lax.scan(step, r, bits, unroll=unroll)
     return r
 
 
-def inv(x):
-    """Fermat inversion x^(p-2). ~255 squarings; used once per batch by
-    `batch_inv` (replaces the DRS62 xgcd of `secp256k1/IntMod.cpp:112-470`,
-    which is branch-heavy and hostile to SIMT/SPMD hardware)."""
-    return pow_const(x, P_INT - 2)
+def _sqr_n(x, n: int):
+    for _ in range(n):
+        x = sqr(x)
+    return x
+
+
+def inv(x, form: str | None = None):
+    """Fermat inversion x^(p-2).
+
+    form='chain': fully unrolled addition chain (~255 sqr + 15 mul, zero
+    per-iteration launch overhead — the TPU hot-loop form; replaces the
+    branch-heavy DRS62 xgcd of `secp256k1/IntMod.cpp:112-470`).
+    form='scan': partially-unrolled lax.scan (small graph, fast compiles —
+    the CPU/test form). Default picks by backend. Both verified against
+    pow(x, p-2, p) in tests.
+    """
+    if form is None:
+        # small-graph scan form on CPU (fast compiles for tests); fully
+        # unrolled chain on accelerators ('tpu', or 'axon' tunnel)
+        form = "scan" if jax.default_backend() == "cpu" else "chain"
+    if form == "scan":
+        return pow_const(x, P_INT - 2)
+    return _inv_chain(x)
+
+
+def _inv_chain(x):
+    x1 = x
+    x2 = mul(sqr(x1), x1)                 # 2^2 - 1 ones
+    x3 = mul(sqr(x2), x1)                 # 2^3 - 1
+    x6 = mul(_sqr_n(x3, 3), x3)
+    x9 = mul(_sqr_n(x6, 3), x3)
+    x11 = mul(_sqr_n(x9, 2), x2)
+    x22 = mul(_sqr_n(x11, 11), x11)
+    x44 = mul(_sqr_n(x22, 22), x22)
+    x88 = mul(_sqr_n(x44, 44), x44)
+    x176 = mul(_sqr_n(x88, 88), x88)
+    x220 = mul(_sqr_n(x176, 44), x44)
+    x223 = mul(_sqr_n(x220, 3), x3)
+    t = mul(_sqr_n(x223, 23), x22)
+    t = mul(_sqr_n(t, 5), x1)
+    t = mul(_sqr_n(t, 3), x2)
+    t = mul(_sqr_n(t, 2), x1)
+    return t
 
 
 def sqrt(x):
     """Modular square root via x^((p+1)/4) (p ≡ 3 mod 4). Lift-X helper,
-    mirrors Secp256K1::GetY (SECP256K1.cpp:675-689)."""
+    mirrors Secp256K1::GetY (SECP256K1.cpp:675-689). Not hot — scan form."""
     return pow_const(x, (P_INT + 1) // 4)
 
 
 def batch_inv(x, axis: int = 1):
-    """Elementwise modular inverse of a batch, Montgomery's trick.
+    """Elementwise modular inverse of a batch: Montgomery's trick as a
+    product *tree* + ONE Fermat inversion at the root.
 
-    prefix/suffix product sweeps (lax.associative_scan) + one Fermat
-    inversion of the total product:
-        inv_i = prefix_{i-1} * suffix_{i+1} * inv(total).
-    Cost ~ a few muls per element at O(log B) depth — the TPU mapping of
-    `IntGroup::ModInv` (`secp256k1/IntGroup.cpp:36-57`).
+    Up-sweep: pairwise products to the root (B-1 muls); down-sweep: each
+    parent inverse yields both child inverses (2 muls per pair). ~3 muls
+    per element at O(log B) depth — the TPU mapping of `IntGroup::ModInv`
+    (`secp256k1/IntGroup.cpp:36-57`). A flat tree of strided slices
+    compiles far faster than lax.associative_scan's recursive interleave
+    and does one product sweep instead of two.
 
-    Zero elements poison the whole batch (as they do in the reference);
-    callers arrange never to invert zero (see walker pivot constraints).
+    Odd level sizes carry their last element through untouched. Zero
+    elements poison the whole batch (as in the reference); callers arrange
+    never to invert zero (see walker pivot constraints).
     """
-    assert axis != 0, "axis 0 is the limb axis"
-    pre = jax.lax.associative_scan(mul, x, axis=axis)
-    suf = jax.lax.associative_scan(mul, x, axis=axis, reverse=True)
-    nbatch = x.shape[axis]
-
-    def take(arr, sl):
-        idx = [slice(None)] * arr.ndim
-        idx[axis] = sl
-        return arr[tuple(idx)]
-
-    total = take(pre, slice(nbatch - 1, nbatch))
-    total_inv = inv(total)
-    one_shape = list(x.shape)
-    one_shape[axis] = 1
-    ones = jnp.broadcast_to(const(1, x.ndim), one_shape).astype(U32)
-    left = jnp.concatenate([ones, take(pre, slice(0, nbatch - 1))], axis=axis)
-    right = jnp.concatenate([take(suf, slice(1, nbatch)), ones], axis=axis)
-    return mul(mul(left, right), jnp.broadcast_to(total_inv, x.shape))
+    assert axis in (1, -1) and x.ndim == 2, "expects (8, B)"
+    stack = []
+    cur = x
+    while cur.shape[1] > 1:
+        odd = None
+        if cur.shape[1] % 2 == 1:
+            odd = cur[:, -1:]
+            cur = cur[:, :-1]
+        a, b = cur[:, 0::2], cur[:, 1::2]
+        stack.append((a, b, odd is not None))
+        cur = mul(a, b)
+        if odd is not None:
+            cur = jnp.concatenate([cur, odd], axis=1)
+    out = inv(cur)
+    for a, b, had_odd in reversed(stack):
+        if had_odd:
+            inv_odd = out[:, -1:]
+            inv_pair = out[:, :-1]
+        else:
+            inv_odd = None
+            inv_pair = out
+        ia = mul(inv_pair, b)
+        ib = mul(inv_pair, a)
+        out = jnp.stack([ia, ib], axis=2).reshape(8, -1)
+        if inv_odd is not None:
+            out = jnp.concatenate([out, inv_odd], axis=1)
+    return out

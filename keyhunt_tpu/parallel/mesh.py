@@ -1,0 +1,78 @@
+"""Device-mesh sharding of the key-range walker.
+
+Parallelism mapping (SURVEY.md §2 table):
+- data-parallel over keyspace: each device owns a contiguous key block and
+  walks its own pivots (the reference's N-threads-pull-chunks scheme,
+  `keyhunt.cpp:3313-3326`, without the mutex — blocks are statically
+  disjoint);
+- per-device lane-parallelism: the (A, W) batch of `search.walker`
+  (reference: group-of-1024 + 4-way SSE);
+- collectives: per-step global hit counts ride a `psum` so the host learns
+  about any hit from a single replicated scalar; BSGS adds X-prefix table
+  sharding with all-gather probes (see `search.bsgs`).
+
+On a v5p pod slice the mesh axis spans all chips (ICI); under tests it is
+the 8-device virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import curve
+from ..search.walker import WalkerConfig, make_step_fn
+
+AXIS = "kspace"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
+    """Jitted SPMD step over the mesh: pivot arrays are sharded along the
+    pivot axis (one block of A pivots per device); each device probes its
+    own key block; hit indices stay device-local in the stacked output and
+    the total count is psum'd so one scalar tells the host "anything
+    anywhere?"."""
+    raw = make_step_fn(cfg, t0, t1, jit=False)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, AXIS), P(None, AXIS)),
+             out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS), P()))
+    def sharded(px, py):
+        px2, py2, hits, counts = raw(px, py)
+        total = jax.lax.psum(counts.sum(), AXIS)
+        return px2, py2, hits, counts, total[None]
+
+    return jax.jit(sharded)
+
+
+def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):
+    """Host: (8, n*A) pivot arrays; device d's pivot a sits at key
+    k0 + d*keys_per_call*stride + a*W*stride (contiguous per-device blocks
+    of one device call each; the host re-seeds when blocks are exhausted)."""
+    span = cfg.keys_per_call * cfg.stride
+    keys = []
+    for d in range(n_devices):
+        for a in range(cfg.pivots):
+            keys.append(k0 + d * span + a * cfg.width * cfg.stride)
+    x, y = curve.points_for_keys(keys)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def decode_sharded_hit(cfg: WalkerConfig, k0: int, device: int, step_idx: int,
+                       flat_idx: int):
+    """Map a (device, step, flat) hit to (variant, key)."""
+    from ..search.walker import decode_hit
+    span = cfg.keys_per_call * cfg.stride
+    return decode_hit(cfg, k0 + device * span, step_idx, flat_idx)

@@ -1,0 +1,436 @@
+"""Baby-Step Giant-Step search — the flagship mode.
+
+Reference architecture (`keyhunt.cpp` §3.2 of SURVEY.md): baby table of
+j*G X-fragments for j=1..m (3-level bloom cascade + sorted 6-byte table),
+then giant strides of 2m keys whose points are probed against the table;
+each giant point covers 2m keys because X(jG) = X(-jG).
+
+TPU redesign:
+- baby table: built on-device by the batched walker geometry, stored as
+  (w0, w1) = top-64-bit X fragments lexicographically sorted with an index
+  permutation. The probe is a vectorized searchsorted in HBM — the bloom
+  cascade's job (cheap membership) is done by the 64-bit exact fragment
+  check, false positives ~2^-40 per giant batch, so the cascade's 2nd/3rd
+  levels collapse into the host verify.
+- giant walk: every target gets a block of lanes in ONE device batch; all
+  lanes advance by -(B*2m)*G per step with a single batched inversion
+  (T targets x B lanes x S steps per dispatch). keys/s = lanes x steps x 2m.
+- degenerate lanes (giant point == ±advance point, or the target key
+  landing exactly on a stride center) are detected branch-free and
+  resolved analytically on host (see `_decode_flags`).
+
+Effective-keys accounting matches the reference: each probed giant point
+counts 2m keys (`keyhunt.cpp:2871-2874`).
+"""
+
+from __future__ import annotations
+
+import os
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import u256, field, curve, match
+from ..ref import ecc
+from ..io.results import ResultSink
+from ..stats import SpeedMeter, si
+
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Baby-step table
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BabyTable:
+    m: int
+    t0: np.ndarray      # sorted fragment word 0 (X limb 7)
+    t1: np.ndarray      # fragment word 1 (X limb 6), lexicographic under t0
+    perm: np.ndarray    # original j-1 (uint32) for each sorted slot
+    depth: int = 4
+
+
+def _builder_step(A: int, W: int, S: int):
+    """Device fn emitting X fragments of keys [k0+1 .. k0+A*W*S]; same
+    pivot/offset geometry as the search walker (walker.py), X-only."""
+    gtx, gty = map(jnp.asarray, curve.offset_table(W))
+    spx, spy = map(jnp.asarray, curve.point_const(A * W))
+
+    def one(carry, _):
+        px, py = carry
+        dx_main = field.sub(gtx[:, None, :], px[:, :, None])
+        dx_step = field.sub(spx, px)
+        alldx = jnp.concatenate([dx_main.reshape(8, A * W), dx_step], axis=1)
+        inv = field.batch_inv(alldx)
+        inv_main = inv[:, : A * W].reshape(8, A, W)
+        inv_step = inv[:, A * W:]
+        pxb, pyb = px[:, :, None], py[:, :, None]
+        x3 = curve.add_with_inv(pxb, pyb, gtx[:, None, :], gty[:, None, :],
+                                inv_main, want_y=False)
+        xn = field.norm(x3)
+        frag = jnp.stack([xn[7].reshape(-1), xn[6].reshape(-1)])   # (2, A*W)
+        px2, py2 = curve.add_with_inv(px, py, spx, spy, inv_step)
+        return (field.norm(px2), field.norm(py2)), frag
+
+    def run(px, py):
+        (px2, py2), frags = jax.lax.scan(one, (px, py), None, length=S)
+        return px2, py2, frags          # frags: (S, 2, A*W)
+
+    return jax.jit(run)
+
+
+def build_baby_table(m: int, pivots: int = 16, width: int = 512,
+                     steps: int = 4, depth: int = 4,
+                     progress: bool = False) -> BabyTable:
+    """Build the j*G fragment table for j = 1..m.
+
+    Keys 1..W+1 come straight from the host offset table (their points are
+    the walker's own constants); the rest are generated on-device in
+    batches (the TPU analog of `thread_bPload`, keyhunt.cpp:5284-5472).
+    """
+    A, W, S = pivots, width, steps
+    frags0 = np.zeros((2, m), dtype=np.uint32)
+    # host part: j = 1..min(W+1, m)
+    host_n = min(W + 1, m)
+    hx, _ = curve.offset_table(max(host_n, 2))
+    frags0[0, :host_n] = hx[7, :host_n]
+    frags0[1, :host_n] = hx[6, :host_n]
+    if m > host_n:
+        run = _builder_step(A, W, S)
+        k0 = host_n                      # device covers [k0+1, ...]
+        keys = [k0 + a * W for a in range(A)]
+        x, y = curve.points_for_keys(keys)
+        px, py = jnp.asarray(x), jnp.asarray(y)
+        pos = host_n
+        span = A * W * S
+        while pos < m:
+            px, py, frags = run(px, py)
+            chunk = np.asarray(frags).transpose(1, 0, 2).reshape(2, span)
+            take = min(span, m - pos)
+            frags0[:, pos:pos + take] = chunk[:, :take]
+            pos += take
+            if progress:
+                print(f"\r[+] baby table {pos}/{m}", end="", flush=True)
+        if progress:
+            print(flush=True)
+    packed = (frags0[0].astype(np.uint64) << 32) | frags0[1].astype(np.uint64)
+    perm = np.argsort(packed, kind="stable").astype(np.uint32)
+    spacked = packed[perm]
+    return BabyTable(m=m,
+                     t0=(spacked >> 32).astype(np.uint32),
+                     t1=(spacked & 0xFFFFFFFF).astype(np.uint32),
+                     perm=perm, depth=depth)
+
+
+# -- persistence (the -S semantics; reference keyhunt_bsgs_* files with
+#    embedded sha256 checksums, keyhunt.cpp:2504-2652) ----------------------
+
+def table_path(m: int, directory: str = ".") -> str:
+    return os.path.join(directory, f"keyhunt_tpu_bsgs_{m:x}.npz")
+
+
+def save_table(tbl: BabyTable, directory: str = ".") -> str:
+    path = table_path(tbl.m, directory)
+    blob = tbl.t0.tobytes() + tbl.t1.tobytes() + tbl.perm.tobytes()
+    checksum = hashlib.sha256(blob).hexdigest()
+    np.savez(path, m=tbl.m, t0=tbl.t0, t1=tbl.t1, perm=tbl.perm,
+             sha256=np.frombuffer(bytes.fromhex(checksum), dtype=np.uint8))
+    return path
+
+
+def load_table(m: int, directory: str = ".", verify: bool = True) -> BabyTable | None:
+    path = table_path(m, directory)
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    tbl = BabyTable(m=int(data["m"]), t0=data["t0"], t1=data["t1"], perm=data["perm"])
+    if verify:
+        blob = tbl.t0.tobytes() + tbl.t1.tobytes() + tbl.perm.tobytes()
+        want = bytes(data["sha256"].tobytes())
+        if hashlib.sha256(blob).digest() != want:
+            raise ValueError(f"checksum mismatch in {path}")
+    return tbl
+
+
+# ---------------------------------------------------------------------------
+# Giant-step walk
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BsgsConfig:
+    m: int                      # baby table size
+    lanes: int = 1024           # giant lanes per target (B)
+    steps: int = 8              # probes per lane per dispatch (S)
+    max_hits: int = 4
+    scheduler: str = "sequential"   # sequential|backward|both|random|dance
+
+    @property
+    def stride(self) -> int:    # keys covered per giant point
+        return 2 * self.m
+
+    def keys_per_call(self, n_targets: int) -> int:
+        return n_targets * self.lanes * self.steps * self.stride
+
+
+def make_giant_step_fn(cfg: BsgsConfig, tbl: BabyTable, n_targets: int):
+    """Jitted giant walk: state (px, py) of T*B lanes; per inner step,
+    probe the table then advance every lane by -(B*2m)*G.
+
+    Outputs per step: top-K (lane, baby-index) hits, hit count, and a
+    degenerate-lane flag/index (lane whose point equals ±advance point —
+    resolved analytically by the host, `_decode_flags`)."""
+    B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
+    L = n_targets * B
+    adv = ecc.ec_mul(B * cfg.stride)
+    negadv = ecc.ec_neg(adv)
+    cx = jnp.asarray(u256.from_int(negadv[0], (1,)))
+    cy = jnp.asarray(u256.from_int(negadv[1], (1,)))
+    cxb = jnp.broadcast_to(cx, (8, L))
+    cyb = jnp.broadcast_to(cy, (8, L))
+    t0c, t1c, permc = map(jnp.asarray, (tbl.t0, tbl.t1, tbl.perm))
+
+    def one(carry, _):
+        px, py = carry                      # canonical (8, L)
+        hit, jidx = match.probe_index(t0c, t1c, permc, px[7], px[6],
+                                      depth=tbl.depth)
+        vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
+        lanes = jnp.where(vals > 0, lanes, -1)
+        jsel = jnp.where(vals > 0, jidx[jnp.clip(lanes, 0, L - 1)], 0)
+        count = hit.sum(dtype=jnp.int32)
+
+        # degenerate advance: P == ±C (x-equality). P == -C degenerates to
+        # doubling (select the doubling slope and keep walking); P == +C
+        # yields infinity — substitute a unit denominator so the batched
+        # inversion isn't poisoned and let the lane go garbage (its false
+        # probes are rejected by host verify). Either way the x-equality
+        # itself IS the answer (Q = (c ± B*stride)*G), so flag lane+step
+        # for analytic host resolution.
+        x_eq = u256.eq(px, cxb)
+        y_eq = u256.eq(py, cyb)
+        same = x_eq & y_eq                  # P == -C (we add -C): doubling
+        inf_case = x_eq & (~y_eq)           # P == +C: P + (-C) = infinity
+        flag_lane = jnp.argmax(x_eq.astype(jnp.int32))
+        flag_any = x_eq.any()
+        one_b = jnp.broadcast_to(field.const(1, 2), (8, L)).astype(U32)
+        den = jnp.where(same[None], field.add(py, py), field.sub(cxb, px))
+        den = jnp.where(inf_case[None], one_b, den)
+        num = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
+                        field.sub(cyb, py))
+        inv = field.batch_inv(den)
+        lam = field.mul(num, inv)
+        x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
+        y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
+        return (field.norm(x2), field.norm(y2)), (lanes, jsel, count,
+                                                  flag_any, flag_lane)
+
+    def run(px, py):
+        (px2, py2), outs = jax.lax.scan(one, (px, py), None, length=S)
+        return (px2, py2) + outs
+
+    return jax.jit(run)
+
+
+class BsgsEngine:
+    """Host orchestration: seeds lanes, dispatches giant batches, verifies
+    candidates exactly, reconstructs keys (c ± j), reports.
+
+    All T unfound targets share one device batch (T*B lanes)."""
+
+    def __init__(self, cfg: BsgsConfig, tbl: BabyTable, targets: list,
+                 start: int, end: int, sink: ResultSink | None = None,
+                 quiet: bool = False, rng_seed: int | None = None,
+                 stats_every: float = 5.0):
+        assert end > start >= 1
+        self.cfg = cfg
+        self.tbl = tbl
+        self.targets = list(targets)          # [(x, y) points]
+        self.start, self.end = start, end
+        self.sink = sink or ResultSink(quiet=quiet)
+        self.quiet = quiet
+        self.stats_every = stats_every
+        self.meter = SpeedMeter()
+        self.found: dict[int, int] = {}       # target index -> private key
+        self.step_fn = make_giant_step_fn(cfg, tbl, len(self.targets))
+        self._offsets_cache: tuple | None = None
+        import random as _r
+        self.rng = _r.Random(rng_seed)
+
+    # lane-offset table: l * (2m) * G for l = 0..B-1, built once ----------
+
+    def _lane_offsets(self):
+        if self._offsets_cache is None:
+            B, stride = self.cfg.lanes, self.cfg.stride
+            step = ecc.ec_mul(stride)
+            pts, acc = [None], None
+            for _ in range(B - 1):
+                acc = ecc.ec_add(acc, step)
+                pts.append(acc)
+            self._offsets_cache = pts          # pts[l] = l*stride*G (None=inf)
+        return self._offsets_cache
+
+    def _seed(self, c0: int):
+        """Host: P[t, l] = Q_t - (c0 + l*stride)*G for every target/lane.
+
+        O(T) scalar mults + O(T*B) cheap point adds via the cached offset
+        chain (setup cost, amortised across S probes x B lanes x 2m keys).
+        """
+        offs = self._lane_offsets()
+        xs, ys = [], []
+        for t, q in enumerate(self.targets):
+            sbase = ecc.ec_sub(q, ecc.ec_mul(c0))   # Q - c0*G
+            for l in range(self.cfg.lanes):
+                pt = ecc.ec_sub(sbase, offs[l]) if offs[l] is not None else sbase
+                if pt is None:
+                    # Q == (c0 + l*stride)*G: the key, exactly. Record and
+                    # substitute a dummy lane to keep shapes static.
+                    self._record(t, c0 + l * self.cfg.stride)
+                    pt = ecc.G
+                xs.append(pt[0])
+                ys.append(pt[1])
+        return (jnp.asarray(u256.from_ints(xs)), jnp.asarray(u256.from_ints(ys)))
+
+    def _record(self, t: int, key: int):
+        key %= ecc.N
+        if t in self.found:
+            return
+        if ecc.pubkey(key)[0] != self.targets[t][0]:
+            return
+        # fix the sign: X matches both key and N-key
+        if ecc.pubkey(key) != self.targets[t]:
+            key = ecc.N - key
+        self.found[t] = key
+        self.sink.record(key, "btc", compressed=True)
+
+    # scheduler: yields c0 for successive dispatch blocks ------------------
+
+    def _blocks(self):
+        cfg = self.cfg
+        span = cfg.lanes * cfg.steps * cfg.stride     # keys per dispatch/target
+        c_lo = self.start + self.cfg.m                # first stride center
+        nblocks = max((self.end - self.start + span - 1) // span, 1)
+        mode = cfg.scheduler
+        if mode == "random":
+            while True:
+                yield c_lo + self.rng.randrange(nblocks) * span, 1
+        elif mode == "dance":
+            while True:
+                yield c_lo + self.rng.randrange(nblocks) * span, 1
+        elif mode == "backward":
+            for b in range(nblocks - 1, -1, -1):
+                yield c_lo + b * span, 1
+        elif mode == "both":
+            lo_i, hi_i = 0, nblocks - 1
+            while lo_i <= hi_i:
+                yield c_lo + lo_i * span, 1
+                lo_i += 1
+                if lo_i > hi_i:
+                    break
+                yield c_lo + hi_i * span, 1
+                hi_i -= 1
+        else:                                          # sequential
+            for b in range(nblocks):
+                yield c_lo + b * span, 1
+
+    def run(self, max_seconds: float | None = None, max_keys: int | None = None):
+        cfg = self.cfg
+        span = cfg.lanes * cfg.steps * cfg.stride
+        import time as _t
+        last_stats = _t.time()
+        contiguous = cfg.scheduler == "sequential"
+        state = None
+        state_c0 = None
+        for c0, _ in self._blocks():
+            if len(self.found) == len(self.targets):
+                break
+            if state is None or not contiguous or state_c0 != c0:
+                state = self._seed(c0)
+                if len(self.found) == len(self.targets):
+                    break
+            px, py, lanes, jsel, counts, flag_any, flag_lane = self.step_fn(*state)
+            state = (px, py)
+            state_c0 = c0 + span
+            self._decode(c0, np.asarray(lanes), np.asarray(jsel),
+                         np.asarray(counts), np.asarray(flag_any),
+                         np.asarray(flag_lane))
+            self.meter.add(cfg.keys_per_call(len(self.targets)))
+            now = _t.time()
+            if not self.quiet and now - last_stats >= self.stats_every:
+                print(f"\r[+] BSGS {si(self.meter.rate)}  c0 {c0:#x}",
+                      end="", flush=True)
+                last_stats = now
+            if max_seconds is not None and self.meter.elapsed > max_seconds:
+                break
+            if max_keys is not None and self.meter.total_keys >= max_keys:
+                break
+        if not self.quiet:
+            print("\n" + self.meter.line(), flush=True)
+        return self.found
+
+    def _decode(self, c0: int, lanes, jsel, counts, flag_any, flag_lane):
+        cfg = self.cfg
+        B = cfg.lanes
+        for s in range(cfg.steps):
+            if int(counts[s]) > 0:
+                for k in range(cfg.max_hits):
+                    l = int(lanes[s][k])
+                    if l < 0:
+                        continue
+                    t, lane = divmod(l, B)
+                    c = c0 + (lane + s * B) * cfg.stride
+                    j = int(jsel[s][k]) + 1
+                    self._record(t, c - j)
+                    self._record(t, c + j)
+            if bool(flag_any[s]):
+                l = int(flag_lane[s])
+                t, lane = divmod(l, B)
+                c = c0 + (lane + s * B) * cfg.stride
+                # P == ±advance point: Q = (c ± B*stride)*G
+                self._record(t, c + B * cfg.stride)
+                self._record(t, c - B * cfg.stride)
+
+
+# ---------------------------------------------------------------------------
+# CLI entry (keyhunt -m bsgs surface)
+# ---------------------------------------------------------------------------
+
+def derive_m(n_value: int | None, k: int) -> int:
+    """Reference parameter mapping (`keyhunt.cpp:1450-1607`): N keys per
+    cycle (default 2^44), M = sqrt(N), baby table m = k*M."""
+    n = n_value if n_value else (1 << 44)
+    bits = n.bit_length() - 1
+    if n != (1 << bits) or bits % 2:
+        raise SystemExit("[E] -n must be an even power of two (see reference n/k table)")
+    return k * (1 << (bits // 2))
+
+
+def run_bsgs_cli(args) -> int:
+    from ..cli import resolve_range, parse_int
+    from ..io import targets as tio
+
+    if not args.file:
+        raise SystemExit("[E] -f FILE with public keys required")
+    pts = tio.load_pubkeys_file(args.file)
+    start, end = resolve_range(args)
+    n_value = parse_int(args.nvalue) if args.nvalue else None
+    m = derive_m(n_value, args.kfactor)
+    print(f"[+] BSGS: {len(pts)} pubkeys, m={m:#x}, range {start:#x}:{end:#x}",
+          flush=True)
+    tbl = None
+    if args.save:
+        tbl = load_table(m, verify=not args.skip_checksum)
+        if tbl is not None:
+            print(f"[+] loaded baby table {table_path(m)}", flush=True)
+    if tbl is None:
+        tbl = build_baby_table(m, progress=not args.quiet)
+        if args.save:
+            print(f"[+] saved baby table {save_table(tbl)}", flush=True)
+    cfg = BsgsConfig(m=m, scheduler=args.bsgs_mode)
+    eng = BsgsEngine(cfg, tbl, pts, start, end, quiet=args.quiet,
+                     stats_every=args.stats)
+    found = eng.run(max_seconds=args.max_seconds)
+    print(f"[+] BSGS done: {len(found)}/{len(pts)} keys found", flush=True)
+    return 0

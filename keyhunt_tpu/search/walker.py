@@ -73,12 +73,14 @@ def _needs_y(mode: str) -> bool:
     return mode in ("uncompressed", "both", "eth")
 
 
-def make_step_fn(cfg: WalkerConfig, t0: np.ndarray, t1: np.ndarray):
-    """Build the jitted device step: (px, py) -> (px', py', hits, counts).
+def make_step_fn(cfg: WalkerConfig, t0: np.ndarray, t1: np.ndarray,
+                 jit: bool = True):
+    """Build the device step: (px, py) -> (px', py', hits, counts).
 
     hits: (S, K) int32 flat indices into the (V, A, W) candidate space of
     each inner step, -1 padded; counts: (S,) total hits (detects K
     saturation). t0/t1: sorted probe table (`ops.match`).
+    jit=False returns the raw traceable fn (for shard_map composition).
     """
     A, W, S = cfg.pivots, cfg.width, cfg.steps
     gtx, gty = curve.offset_table_strided(W, cfg.stride)
@@ -145,7 +147,7 @@ def make_step_fn(cfg: WalkerConfig, t0: np.ndarray, t1: np.ndarray):
         (px2, py2), (hits, counts) = jax.lax.scan(one_step, (px, py), None, length=S)
         return px2, py2, hits, counts
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
 def decode_hit(cfg: WalkerConfig, k0: int, step_idx: int, flat_idx: int):

@@ -1,0 +1,108 @@
+"""BSGS parity tests: baby-table correctness, giant-walk hits, degenerate
+cases, save/load (SURVEY.md §7 step 7; oracle style of tests/test120.txt —
+targets with known keys)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from keyhunt_tpu.ref import ecc
+from keyhunt_tpu.io.results import ResultSink
+from keyhunt_tpu.search.bsgs import (
+    BabyTable, BsgsConfig, BsgsEngine, build_baby_table, save_table,
+    load_table, derive_m)
+
+M = 256              # tiny baby table: stride 512 keys
+
+
+def small_table(m=M):
+    return build_baby_table(m, pivots=2, width=32, steps=2)
+
+
+def test_baby_table_contents():
+    tbl = small_table()
+    # every j in 1..m must be present with the right fragment
+    frag = {}
+    for slot in range(tbl.m):
+        frag[int(tbl.perm[slot])] = (int(tbl.t0[slot]), int(tbl.t1[slot]))
+    for j in range(1, tbl.m + 1):
+        x = ecc.pubkey(j)[0]
+        assert frag[j - 1] == ((x >> 224) & 0xFFFFFFFF, (x >> 192) & 0xFFFFFFFF), f"j={j}"
+    # sorted lexicographically
+    packed = (tbl.t0.astype(np.uint64) << 32) | tbl.t1.astype(np.uint64)
+    assert (np.diff(packed.astype(np.int64)) >= 0).all() or (np.sort(packed) == packed).all()
+
+
+def _engine(tbl, targets, start, end, **kw):
+    cfg = BsgsConfig(m=tbl.m, lanes=4, steps=2, **kw)
+    tmp = tempfile.mkdtemp()
+    sink = ResultSink(path=os.path.join(tmp, "found.txt"), quiet=True)
+    return BsgsEngine(cfg, tbl, targets, start, end, sink=sink, quiet=True)
+
+
+def test_bsgs_finds_planted_keys():
+    tbl = small_table()
+    keys = [5000, 12345, 777]
+    targets = [ecc.pubkey(k) for k in keys]
+    eng = _engine(tbl, targets, 1, 16384)
+    found = eng.run()
+    assert sorted(found.values()) == sorted(keys)
+
+
+def test_bsgs_schedulers():
+    tbl = small_table()
+    keys = [9000]
+    targets = [ecc.pubkey(k) for k in keys]
+    for sched in ("backward", "both", "random"):
+        eng = _engine(tbl, targets, 1, 16384, scheduler=sched)
+        found = eng.run(max_keys=10 * 16384)
+        assert list(found.values()) == keys, sched
+
+
+def test_bsgs_center_exact_key():
+    """Key exactly on a stride center: detected at seeding or via the
+    degenerate-advance flag, not via table probes."""
+    tbl = small_table()
+    # c0 = start + m = 257; centers at 257 + i*512; pick key = center
+    key = 257 + 512 * 3
+    targets = [ecc.pubkey(key)]
+    eng = _engine(tbl, targets, 1, 16384)
+    found = eng.run()
+    assert list(found.values()) == [key]
+
+
+def test_bsgs_key_at_negated_point():
+    """Targets whose giant point passes through ±jG with the negative
+    sign exercise the c+j reconstruction branch."""
+    tbl = small_table()
+    keys = [257 + 512 * 2 + 100, 257 + 512 * 5 - 100]   # c+j and c-j forms
+    targets = [ecc.pubkey(k) for k in keys]
+    eng = _engine(tbl, targets, 1, 16384)
+    found = eng.run()
+    assert sorted(found.values()) == sorted(keys)
+
+
+def test_table_save_load():
+    tbl = small_table()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = save_table(tbl, tmp)
+        assert os.path.exists(path)
+        tbl2 = load_table(tbl.m, tmp)
+        assert tbl2 is not None
+        assert (tbl2.t0 == tbl.t0).all() and (tbl2.perm == tbl.perm).all()
+        # corrupt -> checksum failure
+        data = np.load(path)
+        np.savez(path, m=data["m"], t0=data["t0"] ^ 1, t1=data["t1"],
+                 perm=data["perm"], sha256=data["sha256"])
+        with pytest.raises(ValueError):
+            load_table(tbl.m, tmp)
+
+
+def test_derive_m():
+    assert derive_m(None, 1) == 1 << 22
+    assert derive_m(1 << 44, 4) == 4 << 22
+    assert derive_m(1 << 20, 1) == 1 << 10
+    with pytest.raises(SystemExit):
+        derive_m((1 << 44) + 2, 1)

@@ -105,6 +105,32 @@ def test_inv_sqrt():
         assert r == x % P_INT or r == (P_INT - x) % P_INT
 
 
+def test_inv_chain_exponent():
+    """The unrolled addition chain computes exactly x^(p-2): replicate the
+    chain over exponents with integer arithmetic (sqr doubles, mul adds).
+    Together with mul/sqr parity this proves the chain form correct without
+    compiling its 43K-op graph on CPU."""
+    def sqr_n(e, n):
+        return e << n
+    x1 = 1
+    x2 = sqr_n(x1, 1) + x1
+    x3 = sqr_n(x2, 1) + x1
+    x6 = sqr_n(x3, 3) + x3
+    x9 = sqr_n(x6, 3) + x3
+    x11 = sqr_n(x9, 2) + x2
+    x22 = sqr_n(x11, 11) + x11
+    x44 = sqr_n(x22, 22) + x22
+    x88 = sqr_n(x44, 44) + x44
+    x176 = sqr_n(x88, 88) + x88
+    x220 = sqr_n(x176, 44) + x44
+    x223 = sqr_n(x220, 3) + x3
+    t = sqr_n(x223, 23) + x22
+    t = sqr_n(t, 5) + x1
+    t = sqr_n(t, 3) + x2
+    t = sqr_n(t, 2) + x1
+    assert t == P_INT - 2
+
+
 def test_batch_inv():
     vals = [1, 2, P_INT - 1] + rand256(61)
     a = jnp.asarray(u256.from_ints(vals))
