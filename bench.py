@@ -50,13 +50,15 @@ def main(argv=None) -> int:
         print(f"[bench] compile+first call {time.time()-t_setup:.1f}s",
               file=sys.stderr, flush=True)
 
-    # steady state: pivot state chains call-to-call (no result caching possible)
+    # steady state: pivot state chains call-to-call (no result caching
+    # possible). Block on each call — unbounded async enqueue would build a
+    # queue the final sync then drains for minutes.
     calls = 0
     t0 = time.time()
     while time.time() - t0 < args.seconds:
         px, py, hits, counts = step(px, py)
+        jax.block_until_ready(counts)
         calls += 1
-    jax.block_until_ready((px, py))
     dt = time.time() - t0
     keys = calls * cfg.keys_per_call * cfg.keys_per_point
     rate = keys / dt

@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted; endomorphism search lands in a later kernel revision")
     p.add_argument("-v", "--vanity", action="append", default=[],
                    help="vanity prefix target (keyhunt -v)")
+    p.add_argument("-C", "--minikey-base", default=None,
+                   help="base minikey to scan from (keyhunt -C)")
     # TPU sizing
     p.add_argument("--pivots", type=int, default=64, help="walker pivot count A")
     p.add_argument("--width", type=int, default=2048, help="walker offset width W")
@@ -96,13 +98,13 @@ def main(argv=None) -> int:
     stride = parse_int(args.stride)
 
     if args.mode == "address":
-        ts = tio.load_hash160_file(args.file, is_address=True)
+        ts = tio.load_hash160_file(args.file, is_address=True, use_cache=True)
     elif args.mode == "rmd160":
-        ts = tio.load_hash160_file(args.file, is_address=False)
+        ts = tio.load_hash160_file(args.file, is_address=False, use_cache=True)
     elif args.mode == "xpoint":
-        ts = tio.load_xpoint_file(args.file)
+        ts = tio.load_xpoint_file(args.file, use_cache=True)
     elif args.mode == "eth":
-        ts = tio.load_eth_file(args.file)
+        ts = tio.load_eth_file(args.file, use_cache=True)
     elif args.mode == "vanity":
         from .search.vanity import run_vanity_cli
         return run_vanity_cli(args, start, end)

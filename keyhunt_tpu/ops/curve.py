@@ -16,10 +16,13 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from . import field
+from . import field, u256
 from ..ref import ecc
+
+U32 = jnp.uint32
 
 
 def add_with_inv(px, py, qx, qy, inv_dx, want_y: bool = True):
@@ -79,8 +82,98 @@ def neg_y(py):
 
 
 # ---------------------------------------------------------------------------
-# Host-built device tables (setup-time; O(table), not O(keys)).
+# Jacobian coordinates: inversion-free point arithmetic for batched scalar
+# multiplication (the reference's ScalarMultiplication/ComputePublicKey,
+# SECP256K1.cpp:197-296, redesigned branch-free for lanes).
 # ---------------------------------------------------------------------------
+
+def jac_double(X, Y, Z):
+    """2P in Jacobian coords (a=0 curve). ~5 sqr + 2 mul + small muls.
+    Handles infinity transparently (Z=0 stays 0)."""
+    A = field.sqr(X)
+    B = field.sqr(Y)
+    C = field.sqr(B)
+    t = field.sqr(field.add(X, B))
+    D = field.add(field.sub(field.sub(t, A), C), field.sub(field.sub(t, A), C))
+    E = field.mul_small(A, 3)
+    F = field.sqr(E)
+    X3 = field.sub(F, field.add(D, D))
+    Y3 = field.sub(field.mul(E, field.sub(D, X3)), field.mul_small(C, 8))
+    Z3 = field.add(field.mul(Y, Z), field.mul(Y, Z))
+    return X3, Y3, Z3
+
+
+def jac_add_mixed(X1, Y1, Z1, x2, y2):
+    """P + Q with Q affine (z=1), Jacobian result. ~8 mul + 3 sqr.
+
+    Branch-free infinity handling: if P is infinity (Z1 == 0) the result is
+    Q. The doubling case (P == Q) is NOT handled — callers (scalar mult
+    over hashed scalars) hit it with probability ~2^-250; `jac_double` is
+    selected separately where it can occur deterministically.
+    """
+    z1z1 = field.sqr(Z1)
+    u2 = field.mul(x2, z1z1)
+    s2 = field.mul(field.mul(y2, Z1), z1z1)
+    h = field.sub(u2, X1)
+    hh = field.sqr(h)
+    i = field.mul_small(hh, 4)
+    j = field.mul(h, i)
+    r = field.add(field.sub(s2, Y1), field.sub(s2, Y1))
+    v = field.mul(X1, i)
+    X3 = field.sub(field.sub(field.sqr(r), j), field.add(v, v))
+    y1j = field.mul(Y1, j)
+    Y3 = field.sub(field.mul(r, field.sub(v, X3)), field.add(y1j, y1j))
+    Z3 = field.sub(field.sub(field.sqr(field.add(Z1, h)), z1z1), hh)
+    p_inf = u256.is_zero(field.norm(Z1))[None]
+    one = jnp.broadcast_to(field.const(1, X1.ndim), X1.shape).astype(X1.dtype)
+    X3 = jnp.where(p_inf, jnp.broadcast_to(x2, X3.shape), X3)
+    Y3 = jnp.where(p_inf, jnp.broadcast_to(y2, Y3.shape), Y3)
+    Z3 = jnp.where(p_inf, one, Z3)
+    return X3, Y3, Z3
+
+
+def jac_to_affine(X, Y, Z):
+    """Batch-convert Jacobian -> affine: one batched inversion of Z.
+    Infinity lanes (Z=0) poison the shared inverse — callers must mask
+    them out beforehand (scalar 0 mod N never occurs for hashed keys)."""
+    zinv = field.batch_inv(Z.reshape(8, -1)).reshape(Z.shape)
+    zinv2 = field.sqr(zinv)
+    x = field.mul(X, zinv2)
+    y = field.mul(Y, field.mul(zinv2, zinv))
+    return x, y
+
+
+def scalar_mult_base(k_limbs, steps_unroll: int = 2):
+    """Batched k*G via MSB-first double-and-add over 256 bits.
+
+    k_limbs: (8, B) scalars (little-endian limbs). Returns affine (x, y).
+    ~256 doubles + 256 conditional mixed adds per lane — the O(1)-per-key
+    setup path (minikeys), NOT the range walker (which pays ~3 muls/key).
+    """
+    B = k_limbs.shape[1]
+    bits = []
+    for t in range(256):          # MSB first
+        limb = 7 - t // 32
+        shift = 31 - (t % 32)
+        bits.append((k_limbs[limb] >> np.uint32(shift)) & np.uint32(1))
+    bits_arr = jnp.stack(bits)    # (256, B)
+    gx = jnp.broadcast_to(jnp.asarray(u256.from_int(ecc.GX, (1,))), (8, B)).astype(U32)
+    gy = jnp.broadcast_to(jnp.asarray(u256.from_int(ecc.GY, (1,))), (8, B)).astype(U32)
+    zero = jnp.zeros((8, B), U32)
+
+    def step(carry, bit):
+        X, Y, Z = carry
+        X, Y, Z = jac_double(X, Y, Z)
+        Xa, Ya, Za = jac_add_mixed(X, Y, Z, gx, gy)
+        sel = (bit != 0)[None]
+        X = jnp.where(sel, Xa, X)
+        Y = jnp.where(sel, Ya, Y)
+        Z = jnp.where(sel, Za, Z)
+        return (X, Y, Z), None
+
+    (X, Y, Z), _ = jax.lax.scan(step, (zero, zero, zero), bits_arr,
+                                unroll=steps_unroll)
+    return jac_to_affine(X, Y, Z)
 
 @functools.lru_cache(maxsize=None)
 def offset_table(w: int) -> tuple[np.ndarray, np.ndarray]:

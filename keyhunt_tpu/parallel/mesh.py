@@ -31,9 +31,16 @@ from ..search.walker import WalkerConfig, make_step_fn
 AXIS = "kspace"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh:
+    """Mesh over the default devices, falling back to the virtual CPU
+    devices when the default platform has too few (single-chip dev boxes
+    validating multi-chip sharding — the driver's dryrun path)."""
+    devs = jax.devices(platform) if platform else jax.devices()
+    if n_devices is not None and len(devs) < n_devices and platform is None:
+        devs = jax.devices("cpu")
     if n_devices is not None:
+        assert len(devs) >= n_devices, (
+            f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (AXIS,))
 
@@ -54,7 +61,12 @@ def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
         total = jax.lax.psum(counts.sum(), AXIS)
         return px2, py2, hits, counts, total[None]
 
-    return jax.jit(sharded)
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, P(None, AXIS))
+    # explicit in_shardings commit host/numpy inputs onto the mesh devices
+    # even when they are not the process-default platform (CPU-mesh tests
+    # under a TPU-default process).
+    return jax.jit(sharded, in_shardings=(sh, sh))
 
 
 def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):
@@ -67,7 +79,7 @@ def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):
         for a in range(cfg.pivots):
             keys.append(k0 + d * span + a * cfg.width * cfg.stride)
     x, y = curve.points_for_keys(keys)
-    return jnp.asarray(x), jnp.asarray(y)
+    return x, y              # numpy: jit in_shardings place them on the mesh
 
 
 def decode_sharded_hit(cfg: WalkerConfig, k0: int, device: int, step_idx: int,

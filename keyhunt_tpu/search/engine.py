@@ -44,6 +44,9 @@ class Engine:
         self.meter = SpeedMeter()
         # stop when this many distinct keys found (None = exhaust range)
         self.stop_after = stop_after if stop_after is not None else targets.count
+        if targets.t0 is None:            # vanity: range compare, no table
+            from ..ops import match as _match
+            targets.t0, targets.t1 = _match.build_table([])
         self.step_fn = make_step_fn(cfg, targets.t0, targets.t1)
         self.found_keys: set[int] = set()
         self.found_targets: set = set()   # distinct targets matched (an
@@ -92,7 +95,19 @@ class Engine:
         for k in sorted(cand):
             pt = ecc.pubkey(k)
             hit = None
-            if mode == "xpoint":
+            if mode == "vanity":
+                from ..io import base58 as b58
+                forms = []
+                if self.cfg.mode in ("compressed", "both"):
+                    forms.append((True, hash160(ecc.compress(pt))))
+                if self.cfg.mode in ("uncompressed", "both"):
+                    forms.append((False, hash160(ecc.uncompress_bytes(pt))))
+                for comp, h in forms:
+                    addr = b58.p2pkh_address(h)
+                    if any(addr.startswith(p) for p in self.targets.exact):
+                        hit = addr
+                        break
+            elif mode == "xpoint":
                 if pt[0] in self.targets.exact:
                     hit = pt[0]
             elif mode == "eth":

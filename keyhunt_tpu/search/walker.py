@@ -49,6 +49,10 @@ class WalkerConfig:
     stride: int = 1           # key stride (-I flag in the reference)
     mode: str = "compressed"
     max_hits: int = 8         # top-k hit slots per inner step
+    # vanity ranges as a static tuple of (lo0, lo1, hi0, hi1) BE word pairs
+    # (io.targets.ranges_to_words); when non-empty the probe is replaced by
+    # hash160-in-range compares (thread_process_vanity, keyhunt.cpp:3867).
+    vanity: tuple = ()
 
     @property
     def batch(self) -> int:
@@ -121,16 +125,35 @@ def make_step_fn(cfg: WalkerConfig, t0: np.ndarray, t1: np.ndarray,
             yn = None
         xn = field.norm(x3)
 
+        if cfg.vanity:
+            from ..ops.sha256 import bswap32
+
+            def vmask(h):
+                hb0, hb1 = bswap32(h[0]), bswap32(h[1])
+                m = jnp.zeros(hb0.shape, bool)
+                for lo0, lo1, hi0, hi1 in cfg.vanity:
+                    ge = (hb0 > np.uint32(lo0)) | ((hb0 == np.uint32(lo0)) & (hb1 >= np.uint32(lo1)))
+                    le = (hb0 < np.uint32(hi0)) | ((hb0 == np.uint32(hi0)) & (hb1 <= np.uint32(hi1)))
+                    m = m | (ge & le)
+                return m
+
         masks = []
         if cfg.mode == "xpoint":
             masks.append(match.probe(t0c, t1c, xn[7], xn[6]))
         if cfg.mode in ("compressed", "both"):
             h02, h03 = h160.hash160_both_prefixes(xn)
-            masks.append(match.probe(t0c, t1c, h02[0], h02[1]))
-            masks.append(match.probe(t0c, t1c, h03[0], h03[1]))
+            if cfg.vanity:
+                masks.append(vmask(h02))
+                masks.append(vmask(h03))
+            else:
+                masks.append(match.probe(t0c, t1c, h02[0], h02[1]))
+                masks.append(match.probe(t0c, t1c, h03[0], h03[1]))
         if cfg.mode in ("uncompressed", "both"):
             h04 = h160.hash160_uncompressed(xn, yn)
-            masks.append(match.probe(t0c, t1c, h04[0], h04[1]))
+            if cfg.vanity:
+                masks.append(vmask(h04))
+            else:
+                masks.append(match.probe(t0c, t1c, h04[0], h04[1]))
         if cfg.mode == "eth":
             he = h160.eth_address_words(xn, yn)
             masks.append(match.probe(t0c, t1c, he[0], he[1]))

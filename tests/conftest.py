@@ -1,9 +1,16 @@
-"""Test harness config: run JAX on a virtual 8-device CPU mesh so sharding
-tests exercise real collectives without TPU hardware.
+"""Test harness config.
 
-The environment pins jax_platforms to the 'axon' TPU tunnel at import time
-(env JAX_PLATFORMS is ignored), so the override must go through
-jax.config.update BEFORE any backend initialisation."""
+Two backends cooperate:
+- the ambient accelerator (the 'axon' TPU tunnel when present) runs the
+  compile-heavy kernels — XLA:CPU pathologically explodes on the hash
+  graphs (one sha256 compile >7 min on CPU vs ~1 min on the TPU
+  toolchain, and results are persistently cached across runs);
+- a virtual 8-device CPU mesh backs the multi-device sharding tests
+  (`jax.devices("cpu")` — the platform pin 'axon,cpu' keeps both alive).
+
+Sharding tests therefore use hash-free (xpoint) walker configs so their
+graphs compile quickly on CPU.
+"""
 
 import os
 
@@ -13,13 +20,17 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-
 from keyhunt_tpu import runtime  # noqa: E402
 
 runtime.setup()
 
 REFERENCE_DIR = "/root/reference"
+
+
+def cpu_devices(n: int):
+    devs = jax.devices("cpu")
+    assert len(devs) >= n, f"need {n} cpu devices, have {len(devs)}"
+    return devs[:n]
 
 
 def reference_fixture(name: str) -> str | None:
