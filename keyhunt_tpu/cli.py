@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-M", "--matrix", action="store_true",
                    help="scrolling stats lines instead of carriage-return updates")
     p.add_argument("-e", "--endomorphism", action="store_true",
-                   help="accepted; endomorphism search lands in a later kernel revision")
+                   help="x6 (x3 xpoint) endomorphism search (keyhunt -e)")
     p.add_argument("-v", "--vanity", action="append", default=[],
                    help="vanity prefix target (keyhunt -v)")
     p.add_argument("-C", "--minikey-base", default=None,
@@ -124,8 +124,12 @@ def main(argv=None) -> int:
 
     print(f"[+] keyhunt-tpu: mode {args.mode}, {ts.count} targets, "
           f"range {start:#x}:{end:#x}", flush=True)
-    cfg = WalkerConfig(pivots=args.pivots, width=args.width, steps=args.steps,
-                       stride=stride, mode=wmode)
+    try:
+        cfg = WalkerConfig(pivots=args.pivots, width=args.width,
+                           steps=args.steps, stride=stride, mode=wmode,
+                           endo=args.endomorphism)
+    except ValueError as exc:
+        raise SystemExit(f"[E] {exc}")
     eng = Engine(cfg, ts, start, end, random_mode=args.random,
                  quiet=args.quiet, stats_every=args.stats)
     eng.run(max_seconds=args.max_seconds)

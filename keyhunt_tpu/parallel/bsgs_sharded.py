@@ -1,0 +1,170 @@
+"""Multi-chip BSGS: the baby table sharded across device HBM, giant-step
+queries all-gathered, membership combined with collectives.
+
+This is the TPU replacement for the reference's two scale paths
+(SURVEY.md §5 "long-context analog"): the k-factor (bigger baby table ->
+fewer giant steps) becomes *aggregate HBM across the mesh* — a v5p pod
+slice holds a table D times larger than one chip — and the 256-way
+byte-sharded bloom layers become value-range shards of the sorted
+fragment table.
+
+Layout per step (mesh axis 'kspace', D devices):
+- table: lexicographically sorted fragments split into D equal value
+  ranges; device d holds shard d (P(AXIS) over the shard axis);
+- lanes: each device walks B giant lanes covering its own stripe of
+  centers (global lane l = d*B + b advances by D*B*stride keys/step);
+- probe: every device all-gathers all D*B queries (64 bits each — tiny on
+  ICI), probes its local shard, and the per-shard hits/payloads combine
+  with a psum. A fragment lives in exactly one value shard, so the psum
+  of (hit, j+1) pairs is exact, not a vote.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax import shard_map
+from functools import partial
+
+from ..ops import u256, field, match
+from ..ref import ecc
+from ..search.bsgs import BabyTable, BsgsConfig
+from .mesh import AXIS
+
+U32 = jnp.uint32
+
+
+def shard_table(tbl: BabyTable, n_devices: int):
+    """Split the sorted fragment table into D equal chunks (value ranges).
+    Pads to a multiple of D with sentinel entries that can never match."""
+    m = tbl.t0.shape[0]
+    per = -(-m // n_devices)
+    pad = per * n_devices - m
+    t0 = np.concatenate([tbl.t0, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    t1 = np.concatenate([tbl.t1, np.full(pad, 0xFFFFFFFF, np.uint32)])
+    perm = np.concatenate([tbl.perm, np.full(pad, 0, np.uint32)])
+    return (t0.reshape(n_devices, per), t1.reshape(n_devices, per),
+            perm.reshape(n_devices, per))
+
+
+def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
+                            n_targets: int = 1):
+    """SPMD giant walk over the mesh. State: (px, py) with T*D*B global
+    lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). Outputs per
+    inner step: replicated top-K (global lane, baby j) hits + counts +
+    degenerate-lane flags (see search.bsgs for their resolution)."""
+    D = mesh.devices.size
+    B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
+    Lg = n_targets * D * B                     # global lanes
+    Ll = n_targets * B                         # lanes per device
+    t0s, t1s, perms = shard_table(tbl, D)
+    adv = ecc.ec_mul(D * B * cfg.stride)       # global advance per step
+    negadv = ecc.ec_neg(adv)
+    cxc = u256.from_int(negadv[0], (1,))
+    cyc = u256.from_int(negadv[1], (1,))
+
+    def local_step(t0, t1, perm, px, py):
+        # px, py: (8, Ll) local lanes; t0/t1/perm: (per,) local shard
+        cxb = jnp.broadcast_to(jnp.asarray(cxc), (8, Ll)).astype(U32)
+        cyb = jnp.broadcast_to(jnp.asarray(cyc), (8, Ll)).astype(U32)
+
+        def one(carry, _):
+            px, py = carry
+            # gather every device's queries: (D, 2, Ll) -> (2, Lg)
+            q = jnp.stack([px[7], px[6]])
+            qall = jax.lax.all_gather(q, AXIS)            # (D, 2, Ll)
+            w0 = qall[:, 0].reshape(-1)
+            w1 = qall[:, 1].reshape(-1)
+            hit_l, j_l = match.probe_index(t0, t1, perm, w0, w1,
+                                           depth=tbl.depth)
+            hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
+            jsel_all = jax.lax.psum(jnp.where(hit_l, j_l + 1, 0), AXIS)
+            vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
+            lanes = jnp.where(vals > 0, lanes, -1)
+            jout = jnp.where(vals > 0,
+                             jsel_all[jnp.clip(lanes, 0, Lg - 1)] - 1, 0)
+            count = hit.sum(dtype=jnp.int32)
+
+            x_eq = u256.eq(px, cxb)
+            y_eq = u256.eq(py, cyb)
+            same = x_eq & y_eq
+            inf_case = x_eq & (~y_eq)
+            my = jax.lax.axis_index(AXIS)
+            flag_local = jnp.argmax(x_eq.astype(jnp.int32)) + my * Ll
+            flag_any_l = x_eq.any()
+            flag_any = jax.lax.psum(flag_any_l.astype(jnp.int32), AXIS) > 0
+            flag_lane = jax.lax.psum(
+                jnp.where(flag_any_l, flag_local, 0), AXIS)
+            one_b = jnp.broadcast_to(field.const(1, 2), (8, Ll)).astype(U32)
+            den = jnp.where(same[None], field.add(py, py), field.sub(cxb, px))
+            den = jnp.where(inf_case[None], one_b, den)
+            num = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
+                            field.sub(cyb, py))
+            inv = field.batch_inv(den)
+            lam = field.mul(num, inv)
+            x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
+            y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
+            return ((field.norm(x2), field.norm(y2)),
+                    (lanes, jout, count, flag_any, flag_lane))
+
+        (px2, py2), outs = jax.lax.scan(one, (px, py), None, length=S)
+        return (px2, py2) + outs
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                       P(None, AXIS), P(None, AXIS)),
+             out_specs=(P(None, AXIS), P(None, AXIS),
+                        P(), P(), P(), P(), P()))
+    def stepper(t0, t1, perm, px, py):
+        out = local_step(t0[0], t1[0], perm[0], px, py)
+        return out
+
+    sh_tab = NamedSharding(mesh, P(AXIS, None))
+    sh_pts = NamedSharding(mesh, P(None, AXIS))
+    jitted = jax.jit(stepper, in_shardings=(sh_tab, sh_tab, sh_tab,
+                                            sh_pts, sh_pts))
+
+    def run(px, py):
+        return jitted(t0s, t1s, perms, px, py)
+
+    return run
+
+
+def seed_lanes_sharded(cfg: BsgsConfig, targets, c0: int, n_devices: int,
+                       record_cb=None):
+    """Host: P[t, global lane l] = Q_t - (c0 + l*stride)*G, global lane
+    l = d*B + b ordered device-major so P(None, AXIS) shards device blocks.
+
+    record_cb(t, key) is invoked when a lane lands exactly on Q (the key
+    is c0 + l*stride); the lane is replaced by a dummy.
+    """
+    B = cfg.lanes
+    L = n_devices * B
+    step = ecc.ec_mul(cfg.stride)
+    xs, ys = [], []
+    for t, q in enumerate(targets):
+        pt = ecc.ec_sub(q, ecc.ec_mul(c0))
+        off = None
+        for l in range(L):
+            p = pt if off is None else ecc.ec_sub(pt, off)
+            if l + 1 < L:
+                off = ecc.ec_add(off, step) if off is not None else step
+            if p is None:
+                if record_cb:
+                    record_cb(t, c0 + l * cfg.stride)
+                p = ecc.G
+            xs.append(p[0])
+            ys.append(p[1])
+    # reorder target-major [t][l] -> device blocks [d][t][b]? The step fn
+    # shards the lane axis into device blocks; lanes are laid out
+    # [t, l] flattened with l device-major, so shard d gets, for every
+    # target, its stripe — but shard boundaries must align: arrange as
+    # (d, t, b) so that slicing along the flat axis by D gives whole
+    # (t, b) blocks per device.
+    xs = np.array(xs, dtype=object).reshape(len(targets), n_devices, B)
+    ys = np.array(ys, dtype=object).reshape(len(targets), n_devices, B)
+    xs = xs.transpose(1, 0, 2).reshape(-1)
+    ys = ys.transpose(1, 0, 2).reshape(-1)
+    return (u256.from_ints(list(xs)), u256.from_ints(list(ys)))

@@ -22,7 +22,8 @@ from ..ref.hashes import hash160, eth_address
 from ..io.results import ResultSink
 from ..io.targets import TargetSet
 from ..stats import SpeedMeter, si
-from .walker import WalkerConfig, make_step_fn, decode_hit, seed_pivots
+from .walker import (WalkerConfig, make_step_fn, decode_hit, seed_pivots,
+                     VARIANT_ENDO_POWER)
 
 
 class Engine:
@@ -171,8 +172,13 @@ class Engine:
                         f = int(f)
                         if f < 0:
                             continue
-                        _, key = decode_hit(cfg, k0, s, f)
+                        variant, key = decode_hit(cfg, k0, s, f)
                         if key <= self.end:
+                            e = VARIANT_ENDO_POWER[variant]
+                            if e:
+                                # hit on beta^e * X: the matching target's
+                                # key is lambda^e * (walk key), up to sign
+                                key = key * pow(ecc.LAMBDA, e, ecc.N) % ecc.N
                             self._verify_and_record(key)
                 if int(counts.max()) >= cfg.max_hits:
                     # top-k saturated: extremely dense target region; note it

@@ -40,6 +40,21 @@ MODE_VARIANTS = {
     "eth": ("eth",),
 }
 
+#: with endomorphism (-e): additionally check beta*X and beta^2*X — the
+#: points of keys lambda*k / lambda^2*k (keyhunt.cpp:3408-3440; x6/x3
+#: counting, keyhunt.cpp:2883-2891)
+ENDO_VARIANTS = {
+    "xpoint": ("x", "bx", "b2x"),
+    "compressed": ("02", "03", "02b", "03b", "02b2", "03b2"),
+}
+
+#: lambda-power by variant (for key reconstruction on the host)
+VARIANT_ENDO_POWER = {
+    "x": 0, "02": 0, "03": 0, "04": 0, "eth": 0,
+    "bx": 1, "02b": 1, "03b": 1,
+    "b2x": 2, "02b2": 2, "03b2": 2,
+}
+
 
 @dataclass(frozen=True)
 class WalkerConfig:
@@ -53,6 +68,13 @@ class WalkerConfig:
     # (io.targets.ranges_to_words); when non-empty the probe is replaced by
     # hash160-in-range compares (thread_process_vanity, keyhunt.cpp:3867).
     vanity: tuple = ()
+    # GLV endomorphism x6/x3 search (-e). Compressed/xpoint only (the
+    # reference's incompatibility checks, keyhunt.cpp:1185-1194).
+    endo: bool = False
+
+    def __post_init__(self):
+        if self.endo and self.mode not in ("compressed", "xpoint"):
+            raise ValueError("endomorphism requires compressed or xpoint mode")
 
     @property
     def batch(self) -> int:
@@ -64,12 +86,16 @@ class WalkerConfig:
 
     @property
     def variants(self) -> tuple[str, ...]:
+        if self.endo:
+            return ENDO_VARIANTS[self.mode]
         return MODE_VARIANTS[self.mode]
 
     @property
     def keys_per_point(self) -> int:
-        """Effective keys checked per computed point (the x2 two-prefix
-        rule of `keyhunt.cpp:2883-2891`)."""
+        """Effective keys checked per computed point (the x2/x6/x3
+        counting rules of `keyhunt.cpp:2883-2891`)."""
+        if self.endo:
+            return 6 if self.mode == "compressed" else 3
         return 2 if self.mode == "compressed" else 1
 
 
@@ -137,23 +163,23 @@ def make_step_fn(cfg: WalkerConfig, t0: np.ndarray, t1: np.ndarray,
                     m = m | (ge & le)
                 return m
 
+        x_variants = [xn]
+        if cfg.endo:
+            bx, b2x = curve.endo_x(xn)
+            x_variants += [field.norm(bx), field.norm(b2x)]
         masks = []
-        if cfg.mode == "xpoint":
-            masks.append(match.probe(t0c, t1c, xn[7], xn[6]))
-        if cfg.mode in ("compressed", "both"):
-            h02, h03 = h160.hash160_both_prefixes(xn)
-            if cfg.vanity:
-                masks.append(vmask(h02))
-                masks.append(vmask(h03))
-            else:
-                masks.append(match.probe(t0c, t1c, h02[0], h02[1]))
-                masks.append(match.probe(t0c, t1c, h03[0], h03[1]))
+        for xv in x_variants:
+            if cfg.mode == "xpoint":
+                masks.append(match.probe(t0c, t1c, xv[7], xv[6]))
+            if cfg.mode in ("compressed", "both"):
+                h02, h03 = h160.hash160_both_prefixes(xv)
+                for h in (h02, h03):
+                    masks.append(vmask(h) if cfg.vanity
+                                 else match.probe(t0c, t1c, h[0], h[1]))
         if cfg.mode in ("uncompressed", "both"):
             h04 = h160.hash160_uncompressed(xn, yn)
-            if cfg.vanity:
-                masks.append(vmask(h04))
-            else:
-                masks.append(match.probe(t0c, t1c, h04[0], h04[1]))
+            masks.append(vmask(h04) if cfg.vanity
+                         else match.probe(t0c, t1c, h04[0], h04[1]))
         if cfg.mode == "eth":
             he = h160.eth_address_words(xn, yn)
             masks.append(match.probe(t0c, t1c, he[0], he[1]))

@@ -1,0 +1,71 @@
+"""Multi-device BSGS parity on the virtual CPU mesh: table sharded by
+value range, queries all-gathered, hits psum-combined. Must find the same
+keys the single-device engine finds (SURVEY.md §7 step 8)."""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+from keyhunt_tpu.parallel.mesh import AXIS
+from keyhunt_tpu.parallel.bsgs_sharded import (
+    shard_table, make_sharded_giant_step, seed_lanes_sharded)
+from keyhunt_tpu.ref import ecc
+from keyhunt_tpu.search.bsgs import BsgsConfig, build_baby_table
+from conftest import cpu_devices
+
+M = 256
+D = 8
+
+
+def _mesh():
+    return Mesh(np.array(cpu_devices(D)), (AXIS,))
+
+
+def test_shard_table_partitions():
+    tbl = build_baby_table(M, pivots=2, width=32, steps=2)
+    t0s, t1s, perms = shard_table(tbl, D)
+    assert t0s.shape == (D, M // D)
+    # shards are contiguous value ranges of the sorted table
+    flat = t0s.reshape(-1).astype(np.uint64) << 32 | t1s.reshape(-1)
+    assert (np.sort(flat) == flat).all()
+
+
+def test_sharded_bsgs_finds_keys():
+    tbl = build_baby_table(M, pivots=2, width=32, steps=2)
+    cfg = BsgsConfig(m=M, lanes=2, steps=2)       # D*B = 16 lanes globally
+    keys = [5000, 12345]
+    targets = [ecc.pubkey(k) for k in keys]
+    mesh = _mesh()
+    step = make_sharded_giant_step(cfg, tbl, mesh, n_targets=len(targets))
+    found = {}
+
+    def record(t, key):
+        key %= ecc.N
+        for cand in (key, ecc.N - key):
+            if ecc.pubkey(cand) == targets[t]:
+                found[t] = cand
+
+    B = cfg.lanes
+    TB = len(targets) * B
+    stride = cfg.stride                            # 512 keys per center
+    span = D * B * cfg.steps * stride              # keys per dispatch/target
+    c0 = 1 + M
+    px, py = seed_lanes_sharded(cfg, targets, c0, D, record_cb=record)
+    while c0 < 16384 and len(found) < len(targets):
+        px, py, lanes, jsel, counts, flag_any, flag_lane = step(px, py)
+        lanes = np.asarray(lanes)
+        jsel = np.asarray(jsel)
+        for s in range(cfg.steps):
+            for k in range(cfg.max_hits):
+                q = int(lanes[s][k])
+                if q < 0:
+                    continue
+                d, r = divmod(q, TB)
+                t, b = divmod(r, B)
+                g = d * B + b
+                c = c0 + (g + s * D * B) * stride
+                j = int(jsel[s][k]) + 1
+                record(t, c - j)
+                record(t, c + j)
+        c0 += span
+    assert sorted(found.values()) == sorted(keys)

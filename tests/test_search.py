@@ -98,6 +98,26 @@ def test_random_mode_finds_target():
             assert k in PLANT
 
 
+def test_endomorphism_mode():
+    """-e search: a target whose key k has lambda*k' = k for a walk key k'
+    in range is found via the beta*X check. Plant targets directly: walk
+    keys W, their lambda-multiples are the planted target keys."""
+    walk_keys = [400, 900]
+    target_keys = [k * ecc.LAMBDA % ecc.N for k in walk_keys]
+    with tempfile.TemporaryDirectory() as tmp:
+        lines = [hash160(ecc.compress(ecc.pubkey(k))).hex() for k in target_keys]
+        # also one plain in-range key to check the base variant still works
+        lines.append(hash160(ecc.compress(ecc.pubkey(555))).hex())
+        ts = load_hash160_file(_write(tmp, "t.rmd", lines), is_address=False)
+        eng = Engine(WalkerConfig(mode="compressed", endo=True, **CFG),
+                     ts, 257, 1600, sink=_sink(tmp), quiet=True)
+        eng.run()
+        want = set(target_keys) | {555}
+        # verification may record the negated twin; compare via X coords
+        got_x = {ecc.pubkey(k)[0] for k in eng.found_keys}
+        assert {ecc.pubkey(k)[0] for k in want} <= got_x
+
+
 def test_pivot_advance_doubling():
     """Range aligned so a pivot key hits exactly A*W*stride: the pivot
     advance P+SP degenerates to doubling and must still walk correctly."""
