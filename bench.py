@@ -22,8 +22,10 @@ def main(argv=None) -> int:
     ap.add_argument("--mode", default="compressed",
                     choices=["compressed", "xpoint", "uncompressed", "eth"])
     ap.add_argument("--pivots", type=int, default=64)
-    ap.add_argument("--width", type=int, default=2048)
-    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--width", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--endo", action=argparse.BooleanOptionalAction, default=True,
+                    help="x6 endomorphism counting (reference -e rules); --no-endo disables")
     ap.add_argument("--seconds", type=float, default=15.0)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
@@ -36,29 +38,36 @@ def main(argv=None) -> int:
     from keyhunt_tpu.search.walker import WalkerConfig, make_step_fn, seed_pivots
 
     cfg = WalkerConfig(pivots=args.pivots, width=args.width, steps=args.steps,
-                       mode=args.mode)
+                       mode=args.mode, endo=args.endo)
     # one unreachable target: full probe work, no hit traffic
     t0_, t1_ = match.build_table([(0xDEADBEEF, 0x12345678)])
     if args.verbose:
         print(f"[bench] devices={jax.devices()} cfg={cfg}", file=sys.stderr, flush=True)
     t_setup = time.time()
-    step = make_step_fn(cfg, t0_, t1_)
+    step = make_step_fn(cfg)
+    import jax.numpy as jnp
+    t0_, t1_ = jnp.asarray(t0_), jnp.asarray(t1_)
     px, py = seed_pivots(cfg, 1 << 65)
-    out = step(px, py)
+    out = step(px, py, t0_, t1_)
     jax.block_until_ready(out)
     if args.verbose:
         print(f"[bench] compile+first call {time.time()-t_setup:.1f}s",
               file=sys.stderr, flush=True)
 
     # steady state: pivot state chains call-to-call (no result caching
-    # possible). Block on each call — unbounded async enqueue would build a
-    # queue the final sync then drains for minutes.
+    # possible). Bounded 2-deep pipeline: hides dispatch latency without
+    # letting the async queue build up (an unbounded enqueue once flooded
+    # the device for an hour).
     calls = 0
+    inflight = []
     t0 = time.time()
     while time.time() - t0 < args.seconds:
-        px, py, hits, counts = step(px, py)
-        jax.block_until_ready(counts)
+        px, py, hits, counts = step(px, py, t0_, t1_)
+        inflight.append(counts)
+        if len(inflight) > 2:
+            jax.block_until_ready(inflight.pop(0))
         calls += 1
+    jax.block_until_ready(inflight)
     dt = time.time() - t0
     keys = calls * cfg.keys_per_call * cfg.keys_per_point
     rate = keys / dt

@@ -21,12 +21,24 @@ U32 = jnp.uint32
 
 def build_table(pairs: list[tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
     """Host: list of (w0, w1) uint32 pairs -> lexicographically sorted
-    parallel arrays (t0, t1)."""
-    if not pairs:
-        # dummy single impossible entry keeps shapes static
-        return np.array([0xFFFFFFFF], np.uint32), np.array([0xFFFFFFFF], np.uint32)
-    arr = np.array(sorted(pairs), dtype=np.uint64)
-    return arr[:, 0].astype(np.uint32), arr[:, 1].astype(np.uint32)
+    parallel arrays (t0, t1), padded to a power-of-two length with
+    0xFFFFFFFF sentinels.
+
+    Padding keeps probe-table SHAPES stable across target sets of similar
+    size, so jitted search steps (which take the table as a runtime
+    argument) are compiled once per size class, not once per target file.
+    A sentinel can only "match" a query equal to 2^64-1 — rejected by the
+    exact host verify like any other false positive.
+    """
+    n = max(len(pairs), 1)
+    size = 1 << (n - 1).bit_length()
+    t0 = np.full(size, 0xFFFFFFFF, np.uint32)
+    t1 = np.full(size, 0xFFFFFFFF, np.uint32)
+    if pairs:
+        arr = np.array(sorted(pairs), dtype=np.uint64)
+        t0[: len(pairs)] = arr[:, 0].astype(np.uint32)
+        t1[: len(pairs)] = arr[:, 1].astype(np.uint32)
+    return t0, t1
 
 
 def probe(t0, t1, w0, w1):

@@ -51,22 +51,28 @@ def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
     own key block; hit indices stay device-local in the stacked output and
     the total count is psum'd so one scalar tells the host "anything
     anywhere?"."""
-    raw = make_step_fn(cfg, t0, t1, jit=False)
+    raw = make_step_fn(cfg, jit=False)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, AXIS), P(None, AXIS)),
+             in_specs=(P(None, AXIS), P(None, AXIS), P(None), P(None)),
              out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS), P()))
-    def sharded(px, py):
-        px2, py2, hits, counts = raw(px, py)
+    def sharded(px, py, t0c, t1c):
+        px2, py2, hits, counts = raw(px, py, t0c, t1c)
         total = jax.lax.psum(counts.sum(), AXIS)
         return px2, py2, hits, counts, total[None]
 
     from jax.sharding import NamedSharding
     sh = NamedSharding(mesh, P(None, AXIS))
+    shr = NamedSharding(mesh, P(None))
     # explicit in_shardings commit host/numpy inputs onto the mesh devices
     # even when they are not the process-default platform (CPU-mesh tests
     # under a TPU-default process).
-    return jax.jit(sharded, in_shardings=(sh, sh))
+    jitted = jax.jit(sharded, in_shardings=(sh, sh, shr, shr))
+
+    def run(px, py):
+        return jitted(px, py, t0, t1)
+
+    return run
 
 
 def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):

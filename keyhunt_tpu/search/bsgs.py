@@ -25,6 +25,7 @@ counts 2m keys (`keyhunt.cpp:2871-2874`).
 
 from __future__ import annotations
 
+import functools
 import os
 import hashlib
 from dataclasses import dataclass
@@ -176,13 +177,16 @@ class BsgsConfig:
         return n_targets * self.lanes * self.steps * self.stride
 
 
-def make_giant_step_fn(cfg: BsgsConfig, tbl: BabyTable, n_targets: int):
+@functools.lru_cache(maxsize=None)
+def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
     """Jitted giant walk: state (px, py) of T*B lanes; per inner step,
-    probe the table then advance every lane by -(B*2m)*G.
+    probe the table then advance every lane by -(B*2m)*G. The baby table
+    arrays (t0, t1, perm) are runtime arguments so the compile is shared
+    across tables of one size class (daemon requests, k-factor reuse).
 
     Outputs per step: top-K (lane, baby-index) hits, hit count, and a
     degenerate-lane flag/index (lane whose point equals ±advance point —
-    resolved analytically by the host, `_decode_flags`)."""
+    resolved analytically by the host)."""
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     L = n_targets * B
     adv = ecc.ec_mul(B * cfg.stride)
@@ -191,12 +195,11 @@ def make_giant_step_fn(cfg: BsgsConfig, tbl: BabyTable, n_targets: int):
     cy = jnp.asarray(u256.from_int(negadv[1], (1,)))
     cxb = jnp.broadcast_to(cx, (8, L))
     cyb = jnp.broadcast_to(cy, (8, L))
-    t0c, t1c, permc = map(jnp.asarray, (tbl.t0, tbl.t1, tbl.perm))
 
-    def one(carry, _):
+    def one(carry, _, t0c, t1c, permc):
         px, py = carry                      # canonical (8, L)
         hit, jidx = match.probe_index(t0c, t1c, permc, px[7], px[6],
-                                      depth=tbl.depth)
+                                      depth=depth)
         vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
         lanes = jnp.where(vals > 0, lanes, -1)
         jsel = jnp.where(vals > 0, jidx[jnp.clip(lanes, 0, L - 1)], 0)
@@ -227,8 +230,9 @@ def make_giant_step_fn(cfg: BsgsConfig, tbl: BabyTable, n_targets: int):
         return (field.norm(x2), field.norm(y2)), (lanes, jsel, count,
                                                   flag_any, flag_lane)
 
-    def run(px, py):
-        (px2, py2), outs = jax.lax.scan(one, (px, py), None, length=S)
+    def run(px, py, t0, t1, perm):
+        body = lambda c, x: one(c, x, t0, t1, perm)   # noqa: E731
+        (px2, py2), outs = jax.lax.scan(body, (px, py), None, length=S)
         return (px2, py2) + outs
 
     return jax.jit(run)
@@ -254,7 +258,10 @@ class BsgsEngine:
         self.stats_every = stats_every
         self.meter = SpeedMeter()
         self.found: dict[int, int] = {}       # target index -> private key
-        self.step_fn = make_giant_step_fn(cfg, tbl, len(self.targets))
+        self.step_fn = make_giant_step_fn(cfg, len(self.targets), tbl.depth)
+        self._t0 = jnp.asarray(tbl.t0)
+        self._t1 = jnp.asarray(tbl.t1)
+        self._perm = jnp.asarray(tbl.perm)
         self._offsets_cache: tuple | None = None
         import random as _r
         self.rng = _r.Random(rng_seed)
@@ -350,7 +357,8 @@ class BsgsEngine:
                 state = self._seed(c0)
                 if len(self.found) == len(self.targets):
                     break
-            px, py, lanes, jsel, counts, flag_any, flag_lane = self.step_fn(*state)
+            px, py, lanes, jsel, counts, flag_any, flag_lane = self.step_fn(
+                *state, self._t0, self._t1, self._perm)
             state = (px, py)
             state_c0 = c0 + span
             self._decode(c0, np.asarray(lanes), np.asarray(jsel),

@@ -48,7 +48,10 @@ class Engine:
         if targets.t0 is None:            # vanity: range compare, no table
             from ..ops import match as _match
             targets.t0, targets.t1 = _match.build_table([])
-        self.step_fn = make_step_fn(cfg, targets.t0, targets.t1)
+        self.step_fn = make_step_fn(cfg)
+        import jax.numpy as _jnp
+        self._t0 = _jnp.asarray(targets.t0)
+        self._t1 = _jnp.asarray(targets.t1)
         self.found_keys: set[int] = set()
         self.found_targets: set = set()   # distinct targets matched (an
         # xpoint target matches both k and N-k; stop counts targets)
@@ -162,7 +165,7 @@ class Engine:
         for k0 in self._chunks():
             if px is None or last_k0 is None or k0 != last_k0:
                 px, py = seed_pivots(cfg, k0)
-            px, py, hits, counts = self.step_fn(px, py)
+            px, py, hits, counts = self.step_fn(px, py, self._t0, self._t1)
             last_k0 = k0 + span
             hits = np.asarray(hits)
             counts = np.asarray(counts)
