@@ -181,26 +181,14 @@ def offset_table(w: int) -> tuple[np.ndarray, np.ndarray]:
 
     The TPU analog of the Gn[] table (`init_generator`, keyhunt.cpp:5266).
     """
-    pts = ecc.small_multiples(w)
-    from . import u256
-    xs = u256.from_ints([p[0] for p in pts])
-    ys = u256.from_ints([p[1] for p in pts])
-    return xs, ys
+    return offset_table_strided(w, 1)
 
 
 @functools.lru_cache(maxsize=None)
 def offset_table_strided(w: int, stride: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """(x, y) of j*(stride*G) for j = 1..w — the offset table for strided
     walks (-I flag semantics of the reference)."""
-    if stride == 1:
-        return offset_table(w)
-    from . import u256
-    step = ecc.ec_mul(stride)
-    pts = [step]
-    for _ in range(w - 1):
-        pts.append(ecc.ec_add(pts[-1], step))
-    return (u256.from_ints([p[0] for p in pts]),
-            u256.from_ints([p[1] for p in pts]))
+    return points_for_keys([j * stride for j in range(1, w + 1)])
 
 
 @functools.lru_cache(maxsize=None)
@@ -212,7 +200,17 @@ def point_const(k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def points_for_keys(keys) -> tuple[np.ndarray, np.ndarray]:
-    """Host: (8, len(keys)) X/Y arrays of [k*G for k in keys]."""
+    """Host: (8, len(keys)) X/Y arrays of [k*G for k in keys].
+
+    Dispatches to the native host runtime when built (window-8 comb + one
+    batched inversion, keyhunt_native.cpp) and falls back to the Python
+    oracle otherwise. Keys must be nonzero mod n.
+    """
     from . import u256
-    pts = [ecc.pubkey(k) for k in keys]
+    from .. import native
+    if native.available():
+        pts = native.pubkey_batch(list(keys))
+    else:
+        pts = [ecc.pubkey(k) for k in keys]
+    assert all(p is not None for p in pts), "zero key has no point"
     return u256.from_ints([p[0] for p in pts]), u256.from_ints([p[1] for p in pts])

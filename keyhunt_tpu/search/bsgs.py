@@ -119,7 +119,11 @@ def build_baby_table(m: int, pivots: int = 16, width: int = 512,
         if progress:
             print(flush=True)
     packed = (frags0[0].astype(np.uint64) << 32) | frags0[1].astype(np.uint64)
-    perm = np.argsort(packed, kind="stable").astype(np.uint32)
+    from .. import native
+    if native.available():
+        perm = native.radix_argsort_u64(packed)
+    else:
+        perm = np.argsort(packed, kind="stable").astype(np.uint32)
     spacked = packed[perm]
     return BabyTable(m=m,
                      t0=(spacked >> 32).astype(np.uint32),
@@ -282,9 +286,30 @@ class BsgsEngine:
     def _seed(self, c0: int):
         """Host: P[t, l] = Q_t - (c0 + l*stride)*G for every target/lane.
 
-        O(T) scalar mults + O(T*B) cheap point adds via the cached offset
-        chain (setup cost, amortised across S probes x B lanes x 2m keys).
+        Native fast path (keyhunt_native.cpp `kh_ec_seed_lanes`): one scalar
+        mult + a Jacobian chain + ONE batched inversion per target — the
+        host analog of the reference's per-thread `point_aux` setup
+        (keyhunt.cpp:4635-4642). Python fallback for builds without the .so.
         """
+        from .. import native
+        B = self.cfg.lanes
+        if native.available():
+            xc = np.empty((8, len(self.targets) * B), np.uint32)
+            yc = np.empty((8, len(self.targets) * B), np.uint32)
+            for t, q in enumerate(self.targets):
+                xy, infm = native.seed_lanes(q, c0, self.cfg.stride, B)
+                for l in np.nonzero(infm)[0]:
+                    # Q == (c0 + l*stride)*G: the key, exactly. Record and
+                    # substitute a dummy lane to keep shapes static.
+                    self._record(t, c0 + int(l) * self.cfg.stride)
+                    xy[l, :32] = np.frombuffer(ecc.G[0].to_bytes(32, "big"), np.uint8)
+                    xy[l, 32:] = np.frombuffer(ecc.G[1].to_bytes(32, "big"), np.uint8)
+                # (B, 64) big-endian x||y rows -> (8, B) LE uint32 limb cols
+                words = xy.reshape(B, 16, 4)[..., ::-1].copy().view(np.uint32)
+                words = words.reshape(B, 16)             # BE word order
+                xc[:, t * B:(t + 1) * B] = words[:, 7::-1].T
+                yc[:, t * B:(t + 1) * B] = words[:, 15:7:-1].T
+            return jnp.asarray(xc), jnp.asarray(yc)
         offs = self._lane_offsets()
         xs, ys = [], []
         for t, q in enumerate(self.targets):
