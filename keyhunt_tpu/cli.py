@@ -9,6 +9,7 @@ where harmless so existing keyhunt invocations translate directly.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import runtime
@@ -34,8 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", "--kfactor", type=int, default=1, help="BSGS k factor (keyhunt -k)")
     p.add_argument("-n", "--nvalue", default=None, help="BSGS N per cycle, hex/dec (keyhunt -n)")
     p.add_argument("-B", "--bsgs-mode", default="sequential",
-                   choices=["sequential", "backward", "both", "random", "dance"],
+                   choices=["sequential", "backward", "both", "random",
+                            "dance", "ggsb", "angrygiant"],
                    help="BSGS scheduler (keyhunt -B)")
+    p.add_argument("--bsgs-block-count", type=int, default=0,
+                   help="GGSB: split babies into n blocks (implies -B ggsb)")
+    p.add_argument("--bsgs-block-size", type=int, default=0,
+                   help="GGSB: babies per block; count derived if only size given")
     p.add_argument("-S", "--save", action="store_true", help="save/load BSGS tables (keyhunt -S)")
     p.add_argument("-6", dest="skip_checksum", action="store_true",
                    help="skip file checksums on load (keyhunt -6)")
@@ -50,6 +56,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vanity prefix target (keyhunt -v)")
     p.add_argument("-C", "--minikey-base", default=None,
                    help="base minikey to scan from (keyhunt -C)")
+    p.add_argument("-8", "--alphabet", dest="alphabet", default=None,
+                   help="base58 alphabet for minikeys (keyhunt -8)")
+    p.add_argument("-c", "--crypto", default="btc", choices=["btc", "eth"],
+                   help="crypto searched with -m address (keyhunt -c)")
+    p.add_argument("-z", "--bloom-multiplier", type=int, default=1,
+                   help="bloom size multiplier (keyhunt -z; applies to host "
+                        "bloom filters — the device probe uses exact sorted "
+                        "tables and needs no oversizing)")
+    # mapped/ptable family: on TPU the probe tables live in HBM and persist
+    # as .npz/.npy files; these flags control file placement like the
+    # reference's mmap subsystem (keyhunt.cpp:724-830,1844-1956).
+    p.add_argument("--tmpdir", default=".", help="directory for table files")
+    p.add_argument("--ptable", default=None,
+                   help="explicit path for the persisted bP/baby table")
+    p.add_argument("--load-ptable", action="store_true",
+                   help="require an existing table file; do not rebuild")
+    p.add_argument("--rmd-batch-size", type=int, default=None,
+                   help="accepted for parity; device batch is --pivots*--width")
     # TPU sizing
     p.add_argument("--pivots", type=int, default=64, help="walker pivot count A")
     p.add_argument("--width", type=int, default=2048, help="walker offset width W")
@@ -92,11 +116,15 @@ def main(argv=None) -> int:
     from .search.walker import WalkerConfig
     from .search.engine import Engine
 
-    if not args.file:
+    if not args.file and args.mode != "vanity":
         raise SystemExit("[E] -f FILE required")
+    if args.file and not os.path.exists(args.file):
+        raise SystemExit(f"[E] can't open file {args.file}")
     start, end = resolve_range(args)
     stride = parse_int(args.stride)
 
+    if args.mode == "address" and args.crypto == "eth":
+        args.mode = "eth"                      # keyhunt -m address -c eth
     if args.mode == "address":
         ts = tio.load_hash160_file(args.file, is_address=True, use_cache=True)
     elif args.mode == "rmd160":
@@ -131,7 +159,7 @@ def main(argv=None) -> int:
     except ValueError as exc:
         raise SystemExit(f"[E] {exc}")
     eng = Engine(cfg, ts, start, end, random_mode=args.random,
-                 quiet=args.quiet, stats_every=args.stats)
+                 quiet=args.quiet, stats_every=args.stats, matrix=args.matrix)
     eng.run(max_seconds=args.max_seconds)
     print(f"[+] done: {len(eng.found_keys)} key(s) found", flush=True)
     return 0

@@ -109,13 +109,44 @@ def _reduce_512(h):
     return from_halves(r3)
 
 
+#: multiply backend: "auto" routes big batches through the Pallas kernel on
+#: accelerator backends (ops.pallas_field — one fused VMEM kernel instead of
+#: hundreds of HBM round-trips), everything else through the jnp path.
+#: "jnp" / "pallas" force a path (tests, benchmarks).
+_IMPL = "auto"
+
+
+def set_impl(name: str) -> None:
+    global _IMPL
+    assert name in ("auto", "jnp", "pallas")
+    _IMPL = name
+
+
+def _use_pallas(shape) -> bool:
+    if _IMPL == "jnp":
+        return False
+    from . import pallas_field
+    if not pallas_field.supported(shape):
+        return False
+    if _IMPL == "pallas":
+        return True
+    return jax.default_backend() != "cpu"
+
+
 def mul(a, b):
     """(a * b) mod p, lazy inputs/output."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    if _use_pallas(shape):
+        from . import pallas_field
+        return pallas_field.mul(a, b)
     return _reduce_512(mul_512_halves(a, b))
 
 
 def sqr(a):
     """(a * a) mod p (saves ~half the half-limb products vs `mul`)."""
+    if _use_pallas(a.shape):
+        from . import pallas_field
+        return pallas_field.sqr(a)
     return _reduce_512(sqr_512_halves(a))
 
 

@@ -1,0 +1,270 @@
+"""Pallas TPU kernels for secp256k1 field multiplication.
+
+Why a kernel: the jnp modmul (`ops.field.mul`) expands to ~10^3 elementwise
+uint32 ops whose intermediates XLA only partially fuses — at walker batch
+sizes every unfused op round-trips (8, B) uint32 arrays through HBM, and
+the walk becomes bandwidth-bound at a few Mkeys/s. This kernel computes
+the whole 256x256->512 product and the mod-p fold inside VMEM, so one
+multiply moves 96 bytes per element (two reads, one write) instead of
+kilobytes.
+
+Algorithm (same math as ops.field.mul / ops.u256.mul_512_halves, laid out
+Mosaic-friendly):
+  - operands split limbwise into lo/hi 16-bit halves: alo/ahi (8, T)
+  - schoolbook over half-products accumulated into EVEN/ODD half-column
+    accumulators via static-slice adds (convolution c[k] = sum a_i b_j,
+    i+j=k, k = 2e | 2o+1); every term <= 2^16 after lo/hi split, <= 32
+    terms per column -> columns < 2^21, no wrap
+  - three mod-p folds (2^256 = D = 2^32 + 977): H*D contributes
+    977*h[t] at t and h[t] at t+2; bounds tracked in comments
+  - one sequential 16-row carry ripple + final-carry fold + pack to
+    (8, T) uint32 limbs (lazy representation, < 2^256 — same contract as
+    ops.field).
+
+The reference's equivalent is the x86 carry-chain `ModMulK1`
+(`secp256k1/IntMod.cpp:855-915`); here the carry machinery is re-derived
+for 8x128 uint32 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+U32 = jnp.uint32
+M16 = np.uint32(0xFFFF)
+C977 = np.uint32(977)
+
+#: batch elements per grid block (rows = TILE/128 sublanes x 128 lanes);
+#: VMEM footprint ~ TILE * 250 bytes (inputs + output + conv scratch)
+TILE = 8192
+
+
+def _conv_terms(a, b, i: int):
+    """Half-products of limb i of `a` against all of `b`, pre-split into
+    the four accumulation groups (see `_conv_halves`). Each term < 2^16."""
+    alo_i, ahi_i = a[i] & M16, a[i] >> 16
+    blo, bhi = b & M16, b >> 16
+    p_ll = alo_i * blo                 # weight 2i + 2j
+    p_lh = alo_i * bhi                 # weight 2i + 2j + 1
+    p_hl = ahi_i * blo                 # weight 2i + 2j + 1
+    p_hh = ahi_i * bhi                 # weight 2i + 2j + 2
+    even_at_i = p_ll & M16
+    odd_at_i = (p_ll >> 16) + (p_lh & M16) + (p_hl & M16)
+    even_at_i1 = (p_lh >> 16) + (p_hl >> 16) + (p_hh & M16)
+    odd_at_i1 = p_hh >> 16
+    return even_at_i, odd_at_i, even_at_i1, odd_at_i1
+
+
+def _conv_halves(a, b):
+    """(8, T) u32 limbs x2 -> (even, odd) half-column accumulators.
+
+    even: (17, T), even[e] accumulates half-columns k = 2e (e = 0..16);
+    odd: (16, T), odd[o] accumulates k = 2o+1. All entries < 2^21.
+
+    Pure-jnp variant (tests / XLA path): accumulates via zero-padded adds.
+    The Pallas kernel uses VMEM scratch refs instead (`_mul_kernel`) —
+    Mosaic supports slice stores on refs but not value-level slice updates.
+    """
+    batch = a.shape[1:]
+    even = jnp.zeros((17,) + batch, U32)
+    odd = jnp.zeros((16,) + batch, U32)
+    zrow = jnp.zeros((1,) + batch, U32)
+
+    def pad_to(p, lead, total):
+        segs = []
+        if lead:
+            segs.append(jnp.broadcast_to(zrow, (lead,) + batch))
+        segs.append(p)
+        tail = total - lead - p.shape[0]
+        if tail:
+            segs.append(jnp.broadcast_to(zrow, (tail,) + batch))
+        return jnp.concatenate(segs, axis=0)
+
+    for i in range(8):
+        e_i, o_i, e_i1, o_i1 = _conv_terms(a, b, i)
+        even = even + pad_to(e_i, i, 17) + pad_to(e_i1, i + 1, 17)
+        odd = odd + pad_to(o_i, i, 16) + pad_to(o_i1, i + 1, 16)
+    return even, odd
+
+
+def _finish(even, odd):
+    """Fold the 33 half-columns mod p and pack to (8, T) uint32 limbs.
+    Rows are kept (1, T)-shaped throughout (Mosaic-friendly 2-D ops)."""
+    # rows[k] for k = 0..32; each < 2^21
+    rows = []
+    for k in range(33):
+        e = k // 2
+        rows.append(even[e:e + 1] if k % 2 == 0 else odd[e:e + 1])
+
+    # ---- fold 1: L[0..15] += H*D, H = rows 16..32 (17 rows, < 2^21) ------
+    # D = 2^32 + 977 -> half-pattern [977 @ +0, 1 @ +2]
+    l2 = list(rows[:16]) + [jnp.zeros_like(rows[0]) for _ in range(3)]
+    for t in range(17):
+        l2[t] = l2[t] + rows[16 + t] * C977
+        l2[t + 2] = l2[t + 2] + rows[16 + t]
+    # bounds: 2^21 + 977*2^21 + 2^21 < 2^31.01 — fits u32
+
+    # ---- compact: split lo/hi so rows drop below 2^17 --------------------
+    l3 = [l2[k] & M16 for k in range(19)] + [jnp.zeros_like(rows[0])]
+    for k in range(19):
+        l3[k + 1] = l3[k + 1] + (l2[k] >> 16)
+    # rows < 2^16 + 2^16 = 2^17; rows 16..19 are the new overflow T2
+
+    # ---- fold 2: T2 = rows 16..19 (< 2^17) -------------------------------
+    for t in range(4):
+        l3[t] = l3[t] + l3[16 + t] * C977
+        l3[t + 2] = l3[t + 2] + l3[16 + t]
+    l4 = l3[:16]
+    # rows < 2^17 + 977*2^17 + 2^17 < 2^27.3
+
+    # ---- compact again ----------------------------------------------------
+    l5 = [l4[k] & M16 for k in range(16)]
+    hi_out = l4[15] >> 16                      # row16 overflow, < 2^12
+    for k in range(15):
+        l5[k + 1] = l5[k + 1] + (l4[k] >> 16)
+    # rows < 2^16 + 2^12
+
+    # ---- fold 3: the < 2^12 overflow row ----------------------------------
+    l5[0] = l5[0] + hi_out * C977              # < 2^16 + 2^12 + 2^22
+    l5[2] = l5[2] + hi_out
+
+    # ---- ripple 1: sequential carry to canonical halves -------------------
+    carry = jnp.zeros_like(l5[0])
+    out_rows = []
+    for k in range(16):
+        v = l5[k] + carry
+        out_rows.append(v & M16)
+        carry = v >> 16
+    # total value < 2^256 + eps => carry out <= 1; fold it (D = [977, _, 1])
+    out_rows[0] = out_rows[0] + carry * C977
+    out_rows[2] = out_rows[2] + carry
+    # ---- ripple 2: settle the tiny tail ------------------------------------
+    carry = jnp.zeros_like(carry)
+    final = []
+    for k in range(16):
+        v = out_rows[k] + carry
+        final.append(v & M16)
+        carry = v >> 16
+    # carry here is 0: value after fold < 2^256 (it was <= D*1 + tiny)
+
+    # ---- pack halves to u32 limbs ------------------------------------------
+    return jnp.concatenate([final[2 * i] | (final[2 * i + 1] << 16)
+                            for i in range(8)], axis=0)
+
+
+def _mul_mod_p(a, b):
+    """Pure-jnp core: (8, T) x (8, T) -> (8, T), mod p, lazy (< 2^256).
+    The XLA/test path; the kernel uses scratch refs for the conv stage."""
+    even, odd = _conv_halves(a, b)
+    return _finish(even, odd)
+
+
+def _accumulate_conv(a, b, ev_ref, od_ref):
+    """Kernel-side convolution: accumulate half-products into VMEM scratch
+    refs via static-slice stores (Mosaic supports ref slice updates; it has
+    no value-level scatter/DUS)."""
+    ev_ref[:] = jnp.zeros(ev_ref.shape, U32)
+    od_ref[:] = jnp.zeros(od_ref.shape, U32)
+    for i in range(8):
+        e_i, o_i, e_i1, o_i1 = _conv_terms(a, b, i)
+        ev_ref[i:i + 8] = ev_ref[i:i + 8] + e_i
+        ev_ref[i + 1:i + 9] = ev_ref[i + 1:i + 9] + e_i1
+        od_ref[i:i + 8] = od_ref[i:i + 8] + o_i
+        od_ref[i + 1:i + 9] = od_ref[i + 1:i + 9] + o_i1
+
+
+def _mul_kernel(a_ref, b_ref, o_ref, ev_ref, od_ref):
+    _accumulate_conv(a_ref[:], b_ref[:], ev_ref, od_ref)
+    o_ref[:] = _finish(ev_ref[:], od_ref[:])
+
+
+def _sqr_kernel(a_ref, o_ref, ev_ref, od_ref):
+    a = a_ref[:]
+    _accumulate_conv(a, a, ev_ref, od_ref)
+    o_ref[:] = _finish(ev_ref[:], od_ref[:])
+
+
+# Blocks are rank-3 (8 limbs, R sublane-batch, 128 lanes): the batch spans
+# BOTH the sublane and lane dims, so the (1, R, 128)-shaped row operations
+# of `_finish` are full VPU tiles instead of 1-of-8-sublane strips. The
+# (8, B) HBM array reshapes to (8, B/128, 128) for free (minor-dim split).
+
+def _spec(rows):
+    return pl.BlockSpec((8, rows, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _scratch(rows):
+    return [pltpu.VMEM((17, rows, 128), jnp.uint32),
+            pltpu.VMEM((16, rows, 128), jnp.uint32)]
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_call(total: int, tile: int, interpret: bool):
+    rows = tile // 128
+    return pl.pallas_call(
+        _mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, total // 128, 128), jnp.uint32),
+        grid=(total // tile,),
+        in_specs=[_spec(rows), _spec(rows)],
+        out_specs=_spec(rows),
+        scratch_shapes=_scratch(rows),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sqr_call(total: int, tile: int, interpret: bool):
+    rows = tile // 128
+    return pl.pallas_call(
+        _sqr_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, total // 128, 128), jnp.uint32),
+        grid=(total // tile,),
+        in_specs=[_spec(rows)],
+        out_specs=_spec(rows),
+        scratch_shapes=_scratch(rows),
+        interpret=interpret,
+    )
+
+
+def _flatten3(a):
+    return a.reshape(8, -1, 128)
+
+
+def supported(shape) -> bool:
+    """Kernel path supported for this operand shape? The flat batch must
+    tile into (TILE/128, 128) blocks."""
+    total = 1
+    for d in shape[1:]:
+        total *= d
+    return total % TILE == 0
+
+
+def mul(a, b, interpret: bool = False):
+    """(a * b) mod p over (8, *batch) uint32 arrays — Pallas kernel path.
+
+    Operands are broadcast against each other on the batch dims first
+    (the kernel wants equal shapes); result is lazy (< 2^256), same
+    contract as ops.field.mul.
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    total = int(np.prod(shape[1:]))
+    tile = min(TILE, total)
+    out = _mul_call(total, tile, interpret)(_flatten3(a), _flatten3(b))
+    return out.reshape(shape)
+
+
+def sqr(a, interpret: bool = False):
+    shape = a.shape
+    total = int(np.prod(shape[1:]))
+    tile = min(TILE, total)
+    out = _sqr_call(total, tile, interpret)(_flatten3(a))
+    return out.reshape(shape)

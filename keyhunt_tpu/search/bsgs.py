@@ -171,7 +171,15 @@ class BsgsConfig:
     lanes: int = 1024           # giant lanes per target (B)
     steps: int = 8              # probes per lane per dispatch (S)
     max_hits: int = 4
-    scheduler: str = "sequential"   # sequential|backward|both|random|dance
+    # sequential|backward|both|random|dance|ggsb|angrygiant
+    # (keyhunt -B, keyhunt.cpp:4592-6305). angrygiant's bucket-by-first-byte
+    # probe ordering (keyhunt.cpp:4718-4817) is a CPU-cache strategy with no
+    # TPU analog — the device probe is fully parallel — so it schedules like
+    # sequential. ggsb splits the baby table into blocks searched in passes
+    # (BsgsGgsbConfig, keyhunt.cpp:478-485,1477-1499).
+    scheduler: str = "sequential"
+    block_count: int = 0        # ggsb: number of baby-table blocks
+    block_size: int = 0         # ggsb: babies per block
 
     @property
     def stride(self) -> int:    # keys covered per giant point
@@ -179,6 +187,18 @@ class BsgsConfig:
 
     def keys_per_call(self, n_targets: int) -> int:
         return n_targets * self.lanes * self.steps * self.stride
+
+    def ggsb_blocks(self) -> tuple[int, int]:
+        """Resolved (block_count, block_size) — the reference's derivation
+        (keyhunt.cpp:1477-1499): either knob implies the other."""
+        count, size = self.block_count, self.block_size
+        if count == 0 and size == 0:
+            count = 1
+        if count > 0 and size == 0:
+            size = (self.m + count - 1) // count
+        elif size > 0 and count == 0:
+            count = (self.m + size - 1) // size
+        return max(count, 1), max(size, 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -251,7 +271,7 @@ class BsgsEngine:
     def __init__(self, cfg: BsgsConfig, tbl: BabyTable, targets: list,
                  start: int, end: int, sink: ResultSink | None = None,
                  quiet: bool = False, rng_seed: int | None = None,
-                 stats_every: float = 5.0):
+                 stats_every: float = 5.0, matrix: bool = False):
         assert end > start >= 1
         self.cfg = cfg
         self.tbl = tbl
@@ -260,15 +280,44 @@ class BsgsEngine:
         self.sink = sink or ResultSink(quiet=quiet)
         self.quiet = quiet
         self.stats_every = stats_every
+        self.matrix = matrix          # -M: scrolling lines (keyhunt.cpp:965)
         self.meter = SpeedMeter()
         self.found: dict[int, int] = {}       # target index -> private key
         self.step_fn = make_giant_step_fn(cfg, len(self.targets), tbl.depth)
-        self._t0 = jnp.asarray(tbl.t0)
-        self._t1 = jnp.asarray(tbl.t1)
-        self._perm = jnp.asarray(tbl.perm)
+        self._passes = self._build_passes()   # [(t0, t1, perm), ...]
+        self._t0, self._t1, self._perm = self._passes[0]
         self._offsets_cache: tuple | None = None
         import random as _r
         self.rng = _r.Random(rng_seed)
+
+    def _build_passes(self):
+        """Probe tables per search pass. One pass (the whole sorted table)
+        for every scheduler except ggsb, which splits the baby indices
+        into blocks: pass b probes only j in (b*bs, (b+1)*bs] — smaller
+        resident tables, full coverage after all passes (the TPU reading
+        of the reference's GGSB block search, keyhunt.cpp:1477-1499)."""
+        tbl = self.tbl
+        if self.cfg.scheduler != "ggsb":
+            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1),
+                     jnp.asarray(tbl.perm))]
+        count, size = self.cfg.ggsb_blocks()
+        if count <= 1:
+            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1),
+                     jnp.asarray(tbl.perm))]
+        pad_n = 1 << (max(size, 1) - 1).bit_length()
+        passes = []
+        for b in range(count):
+            lo, hi = b * size, min((b + 1) * size, tbl.m)
+            sel = (tbl.perm >= lo) & (tbl.perm < hi)      # sorted order kept
+            t0, t1, perm = tbl.t0[sel], tbl.t1[sel], tbl.perm[sel]
+            n = t0.shape[0]
+            if n < pad_n:   # sentinel-pad to one shared shape (one compile)
+                fill = pad_n - n
+                t0 = np.concatenate([t0, np.full(fill, 0xFFFFFFFF, np.uint32)])
+                t1 = np.concatenate([t1, np.full(fill, 0xFFFFFFFF, np.uint32)])
+                perm = np.concatenate([perm, np.zeros(fill, np.uint32)])
+            passes.append((jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(perm)))
+        return passes
 
     # lane-offset table: l * (2m) * G for l = 0..B-1, built once ----------
 
@@ -349,8 +398,21 @@ class BsgsEngine:
             while True:
                 yield c_lo + self.rng.randrange(nblocks) * span, 1
         elif mode == "dance":
-            while True:
-                yield c_lo + self.rng.randrange(nblocks) * span, 1
+            # the reference's dance walker picks TOP / BOTTOM / RANDOM per
+            # claimed chunk (thread_process_bsgs_dance, keyhunt.cpp:5709-57):
+            # bottom advances a cursor, top shrinks the end, random probes
+            # the unswept middle without moving either.
+            lo_i, hi_i = 0, nblocks
+            while lo_i < hi_i:
+                r = self.rng.randrange(3)
+                if r == 0:                              # TOP
+                    hi_i -= 1
+                    yield c_lo + hi_i * span, 1
+                elif r == 1:                            # BOTTOM
+                    yield c_lo + lo_i * span, 1
+                    lo_i += 1
+                else:                                   # RANDOM middle
+                    yield c_lo + self.rng.randrange(lo_i, hi_i) * span, 1
         elif mode == "backward":
             for b in range(nblocks - 1, -1, -1):
                 yield c_lo + b * span, 1
@@ -363,16 +425,30 @@ class BsgsEngine:
                     break
                 yield c_lo + hi_i * span, 1
                 hi_i -= 1
-        else:                                          # sequential
+        else:                          # sequential (also ggsb, angrygiant)
             for b in range(nblocks):
                 yield c_lo + b * span, 1
 
     def run(self, max_seconds: float | None = None, max_keys: int | None = None):
+        for tables in self._passes:
+            self._t0, self._t1, self._perm = tables
+            self._run_pass(max_seconds=max_seconds, max_keys=max_keys)
+            if len(self.found) == len(self.targets):
+                break
+            if max_seconds is not None and self.meter.elapsed > max_seconds:
+                break
+            if max_keys is not None and self.meter.total_keys >= max_keys:
+                break
+        if not self.quiet:
+            print("\n" + self.meter.line(), flush=True)
+        return self.found
+
+    def _run_pass(self, max_seconds=None, max_keys=None):
         cfg = self.cfg
         span = cfg.lanes * cfg.steps * cfg.stride
         import time as _t
         last_stats = _t.time()
-        contiguous = cfg.scheduler == "sequential"
+        contiguous = cfg.scheduler in ("sequential", "ggsb", "angrygiant")
         state = None
         state_c0 = None
         for c0, _ in self._blocks():
@@ -392,16 +468,16 @@ class BsgsEngine:
             self.meter.add(cfg.keys_per_call(len(self.targets)))
             now = _t.time()
             if not self.quiet and now - last_stats >= self.stats_every:
-                print(f"\r[+] BSGS {si(self.meter.rate)}  c0 {c0:#x}",
-                      end="", flush=True)
+                if self.matrix:
+                    print(f"[+] BSGS {si(self.meter.rate)}  c0 {c0:#x}", flush=True)
+                else:
+                    print(f"\r[+] BSGS {si(self.meter.rate)}  c0 {c0:#x}",
+                          end="", flush=True)
                 last_stats = now
             if max_seconds is not None and self.meter.elapsed > max_seconds:
                 break
             if max_keys is not None and self.meter.total_keys >= max_keys:
                 break
-        if not self.quiet:
-            print("\n" + self.meter.line(), flush=True)
-        return self.found
 
     def _decode(self, c0: int, lanes, jsel, counts, flag_any, flag_lane):
         cfg = self.cfg
@@ -446,24 +522,34 @@ def run_bsgs_cli(args) -> int:
 
     if not args.file:
         raise SystemExit("[E] -f FILE with public keys required")
+    if not os.path.exists(args.file):
+        raise SystemExit(f"[E] can't open file {args.file}")
     pts = tio.load_pubkeys_file(args.file)
     start, end = resolve_range(args)
     n_value = parse_int(args.nvalue) if args.nvalue else None
     m = derive_m(n_value, args.kfactor)
     print(f"[+] BSGS: {len(pts)} pubkeys, m={m:#x}, range {start:#x}:{end:#x}",
           flush=True)
+    tdir = getattr(args, "tmpdir", ".")
     tbl = None
-    if args.save:
-        tbl = load_table(m, verify=not args.skip_checksum)
+    if args.save or getattr(args, "load_ptable", False):
+        tbl = load_table(m, directory=tdir, verify=not args.skip_checksum)
         if tbl is not None:
-            print(f"[+] loaded baby table {table_path(m)}", flush=True)
+            print(f"[+] loaded baby table {table_path(m, tdir)}", flush=True)
+        elif getattr(args, "load_ptable", False):
+            raise SystemExit(f"[E] --load-ptable: no table {table_path(m, tdir)}")
     if tbl is None:
         tbl = build_baby_table(m, progress=not args.quiet)
         if args.save:
-            print(f"[+] saved baby table {save_table(tbl)}", flush=True)
-    cfg = BsgsConfig(m=m, scheduler=args.bsgs_mode)
+            print(f"[+] saved baby table {save_table(tbl, tdir)}", flush=True)
+    scheduler = args.bsgs_mode
+    if getattr(args, "bsgs_block_count", 0) or getattr(args, "bsgs_block_size", 0):
+        scheduler = "ggsb"                 # --bsgs-block-* implies -B ggsb
+    cfg = BsgsConfig(m=m, scheduler=scheduler,
+                     block_count=getattr(args, "bsgs_block_count", 0),
+                     block_size=getattr(args, "bsgs_block_size", 0))
     eng = BsgsEngine(cfg, tbl, pts, start, end, quiet=args.quiet,
-                     stats_every=args.stats)
+                     stats_every=args.stats, matrix=args.matrix)
     found = eng.run(max_seconds=args.max_seconds)
     print(f"[+] BSGS done: {len(found)}/{len(pts)} keys found", flush=True)
     return 0

@@ -31,7 +31,7 @@ class Engine:
                  start: int, end: int, sink: ResultSink | None = None,
                  random_mode: bool = False, rng_seed: int | None = None,
                  quiet: bool = False, stats_every: float = 5.0,
-                 stop_after: int | None = None):
+                 stop_after: int | None = None, matrix: bool = False):
         assert start >= 1 and end > start
         self.cfg = cfg
         self.targets = targets
@@ -42,6 +42,7 @@ class Engine:
         self.rng = _random.Random(rng_seed)
         self.quiet = quiet
         self.stats_every = stats_every
+        self.matrix = matrix          # -M: scrolling lines (keyhunt.cpp:965)
         self.meter = SpeedMeter()
         # stop when this many distinct keys found (None = exhaust range)
         self.stop_after = stop_after if stop_after is not None else targets.count
@@ -190,8 +191,11 @@ class Engine:
             self.meter.add(cfg.keys_per_call * cfg.keys_per_point)
             now = time.time()
             if not self.quiet and now - last_stats >= self.stats_every:
-                print(f"\r[+] {si(self.meter.rate)}  base {k0:#x}",
-                      end="", flush=True)
+                if self.matrix:
+                    print(f"[+] {si(self.meter.rate)}  base {k0:#x}", flush=True)
+                else:
+                    print(f"\r[+] {si(self.meter.rate)}  base {k0:#x}",
+                          end="", flush=True)
                 last_stats = now
             if len(self.found_targets) >= self.stop_after > 0:
                 break

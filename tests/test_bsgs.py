@@ -55,10 +55,25 @@ def test_bsgs_schedulers():
     tbl = small_table()
     keys = [9000]
     targets = [ecc.pubkey(k) for k in keys]
-    for sched in ("backward", "both", "random"):
+    for sched in ("backward", "both", "random", "dance", "angrygiant"):
         eng = _engine(tbl, targets, 1, 16384, scheduler=sched)
         found = eng.run(max_keys=10 * 16384)
         assert list(found.values()) == keys, sched
+
+
+def test_bsgs_ggsb_blocks():
+    """GGSB splits the baby table into blocks searched in passes; a key
+    whose baby index lands in a LATER block must still be found."""
+    tbl = small_table()
+    keys = [9000, 777]
+    targets = [ecc.pubkey(k) for k in keys]
+    eng = _engine(tbl, targets, 1, 16384, scheduler="ggsb", block_count=4)
+    found = eng.run()
+    assert sorted(found.values()) == sorted(keys)
+    # derivation parity (keyhunt.cpp:1477-1499)
+    assert BsgsConfig(m=256, block_count=4).ggsb_blocks() == (4, 64)
+    assert BsgsConfig(m=256, block_size=100).ggsb_blocks() == (3, 100)
+    assert BsgsConfig(m=256, scheduler="ggsb").ggsb_blocks() == (1, 256)
 
 
 def test_bsgs_center_exact_key():
