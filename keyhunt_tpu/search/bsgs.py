@@ -508,12 +508,14 @@ class BsgsEngine:
 
 def derive_m(n_value: int | None, k: int) -> int:
     """Reference parameter mapping (`keyhunt.cpp:1450-1607`): N keys per
-    cycle (default 2^44), M = sqrt(N), baby table m = k*M."""
+    cycle (default 2^44), M = sqrt(N), baby table m = k*M. Validated
+    against the n/k table exactly like the reference (`util.c:358-389`)."""
+    from ..util import validate_nk, print_nk_table
     n = n_value if n_value else (1 << 44)
-    bits = n.bit_length() - 1
-    if n != (1 << bits) or bits % 2:
-        raise SystemExit("[E] -n must be an even power of two (see reference n/k table)")
-    return k * (1 << (bits // 2))
+    if not validate_nk(n, k):
+        print_nk_table()
+        raise SystemExit(1)
+    return k * (1 << ((n.bit_length() - 1) // 2))
 
 
 def run_bsgs_cli(args) -> int:
