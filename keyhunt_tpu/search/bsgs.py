@@ -138,8 +138,13 @@ def table_path(m: int, directory: str = ".") -> str:
     return os.path.join(directory, f"keyhunt_tpu_bsgs_{m:x}.npz")
 
 
-def save_table(tbl: BabyTable, directory: str = ".") -> str:
-    path = table_path(tbl.m, directory)
+def _norm_table_path(path: str) -> str:
+    # np.savez appends ".npz" to bare names; keep save/load agreeing.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def save_table(tbl: BabyTable, directory: str = ".", path: str | None = None) -> str:
+    path = _norm_table_path(path or table_path(tbl.m, directory))
     blob = tbl.t0.tobytes() + tbl.t1.tobytes() + tbl.perm.tobytes()
     checksum = hashlib.sha256(blob).hexdigest()
     np.savez(path, m=tbl.m, t0=tbl.t0, t1=tbl.t1, perm=tbl.perm,
@@ -147,12 +152,16 @@ def save_table(tbl: BabyTable, directory: str = ".") -> str:
     return path
 
 
-def load_table(m: int, directory: str = ".", verify: bool = True) -> BabyTable | None:
-    path = table_path(m, directory)
+def load_table(m: int, directory: str = ".", verify: bool = True,
+               path: str | None = None) -> BabyTable | None:
+    path = _norm_table_path(path or table_path(m, directory))
     if not os.path.exists(path):
         return None
     data = np.load(path)
-    tbl = BabyTable(m=int(data["m"]), t0=data["t0"], t1=data["t1"], perm=data["perm"])
+    if int(data["m"]) != m:
+        raise ValueError(f"{path} holds a table for m={int(data['m']):#x}, "
+                         f"wanted m={m:#x}")
+    tbl = BabyTable(m=m, t0=data["t0"], t1=data["t1"], perm=data["perm"])
     if verify:
         blob = tbl.t0.tobytes() + tbl.t1.tobytes() + tbl.perm.tobytes()
         want = bytes(data["sha256"].tobytes())
@@ -533,17 +542,20 @@ def run_bsgs_cli(args) -> int:
     print(f"[+] BSGS: {len(pts)} pubkeys, m={m:#x}, range {start:#x}:{end:#x}",
           flush=True)
     tdir = getattr(args, "tmpdir", ".")
+    # --ptable PATH: explicit table file, overriding the m-keyed name in
+    # --tmpdir (the role of the reference's --ptable file, keyhunt.cpp:1844).
+    path = getattr(args, "ptable", None) or table_path(m, tdir)
     tbl = None
     if args.save or getattr(args, "load_ptable", False):
-        tbl = load_table(m, directory=tdir, verify=not args.skip_checksum)
+        tbl = load_table(m, path=path, verify=not args.skip_checksum)
         if tbl is not None:
-            print(f"[+] loaded baby table {table_path(m, tdir)}", flush=True)
+            print(f"[+] loaded baby table {path}", flush=True)
         elif getattr(args, "load_ptable", False):
-            raise SystemExit(f"[E] --load-ptable: no table {table_path(m, tdir)}")
+            raise SystemExit(f"[E] --load-ptable: no table {path}")
     if tbl is None:
         tbl = build_baby_table(m, progress=not args.quiet)
         if args.save:
-            print(f"[+] saved baby table {save_table(tbl, tdir)}", flush=True)
+            print(f"[+] saved baby table {save_table(tbl, path=path)}", flush=True)
     scheduler = args.bsgs_mode
     if getattr(args, "bsgs_block_count", 0) or getattr(args, "bsgs_block_size", 0):
         scheduler = "ggsb"                 # --bsgs-block-* implies -B ggsb
