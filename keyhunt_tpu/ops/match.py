@@ -59,11 +59,14 @@ def probe(t0, t1, w0, w1):
     return hit
 
 
-def probe_index(t0, t1, perm, w0, w1, depth: int = 4):
-    """Like `probe`, but also returns the table payload (baby-step index)
-    of the first matching entry. Used by BSGS, where a fragment hit must
-    map back to its j (the reference's bsgs_xvalue {6-byte X, uint64 index}
-    pairs + bsgs_searchbinary, `keyhunt.cpp:132-135,4412-4546`).
+def probe_pos(t0, t1, w0, w1, depth: int = 4):
+    """Like `probe`, but also returns the sorted-table POSITION of the
+    first matching entry. Used by BSGS, where a fragment hit must map back
+    to its baby index j (the reference's bsgs_xvalue {6-byte X, uint64
+    index} pairs + bsgs_searchbinary, `keyhunt.cpp:132-135,4412-4546`).
+    The position→j permutation stays in host RAM (hits are rare), so the
+    device table is 8 bytes/entry instead of 12 — proportionally more
+    baby steps per HBM byte.
 
     depth bounds first-word duplicate chains; at m = 2^24 entries the
     probability of a >4 chain is ~4% per table — callers building larger
@@ -72,13 +75,13 @@ def probe_index(t0, t1, perm, w0, w1, depth: int = 4):
     n = t0.shape[0]
     idx = jnp.searchsorted(t0, w0)
     hit = jnp.zeros(w0.shape, bool)
-    payload = jnp.zeros(w0.shape, U32)
+    pos = jnp.zeros(w0.shape, U32)
     for d in range(depth):
         j = jnp.clip(idx + d, 0, n - 1)
         ok = (t0[j] == w0) & (t1[j] == w1)
-        payload = jnp.where(ok & ~hit, perm[j], payload)
+        pos = jnp.where(ok & ~hit, j.astype(U32), pos)
         hit = hit | ok
-    return hit, payload
+    return hit, pos
 
 
 def topk_indices(mask_flat, k: int):

@@ -38,35 +38,40 @@ U32 = jnp.uint32
 
 def shard_table(tbl: BabyTable, n_devices: int):
     """Split the sorted fragment table into D equal chunks (value ranges).
-    Pads to a multiple of D with sentinel entries that can never match."""
+    Pads to a multiple of D with sentinel entries that can never match.
+    Returns device-bound (t0, t1) shard stacks plus the padded position→j
+    permutation, which stays in HOST RAM (consulted only for rare hits —
+    8 device bytes/entry instead of 12)."""
     m = tbl.t0.shape[0]
     per = -(-m // n_devices)
     pad = per * n_devices - m
     t0 = np.concatenate([tbl.t0, np.full(pad, 0xFFFFFFFF, np.uint32)])
     t1 = np.concatenate([tbl.t1, np.full(pad, 0xFFFFFFFF, np.uint32)])
     perm = np.concatenate([tbl.perm, np.full(pad, 0, np.uint32)])
-    return (t0.reshape(n_devices, per), t1.reshape(n_devices, per),
-            perm.reshape(n_devices, per))
+    return (t0.reshape(n_devices, per), t1.reshape(n_devices, per), perm)
 
 
 def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
                             n_targets: int = 1):
     """SPMD giant walk over the mesh. State: (px, py) with T*D*B global
     lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). Outputs per
-    inner step: replicated top-K (global lane, baby j) hits + counts +
-    degenerate-lane flags (see search.bsgs for their resolution)."""
+    inner step: replicated top-K (global lane, global sorted position)
+    hits + counts + degenerate-lane flags (see search.bsgs for their
+    resolution). The returned `run` carries `.perm` — the padded host
+    permutation mapping global positions back to baby indices j."""
     D = mesh.devices.size
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     Lg = n_targets * D * B                     # global lanes
     Ll = n_targets * B                         # lanes per device
-    t0s, t1s, perms = shard_table(tbl, D)
+    t0s, t1s, perm_host = shard_table(tbl, D)
+    per = t0s.shape[1]
     adv = ecc.ec_mul(D * B * cfg.stride)       # global advance per step
     negadv = ecc.ec_neg(adv)
     cxc = u256.from_int(negadv[0], (1,))
     cyc = u256.from_int(negadv[1], (1,))
 
-    def local_step(t0, t1, perm, px, py):
-        # px, py: (8, Ll) local lanes; t0/t1/perm: (per,) local shard
+    def local_step(t0, t1, px, py):
+        # px, py: (8, Ll) local lanes; t0/t1: (per,) local shard
         cxb = jnp.broadcast_to(jnp.asarray(cxc), (8, Ll)).astype(U32)
         cyb = jnp.broadcast_to(jnp.asarray(cyc), (8, Ll)).astype(U32)
 
@@ -77,14 +82,16 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
             qall = jax.lax.all_gather(q, AXIS)            # (D, 2, Ll)
             w0 = qall[:, 0].reshape(-1)
             w1 = qall[:, 1].reshape(-1)
-            hit_l, j_l = match.probe_index(t0, t1, perm, w0, w1,
-                                           depth=tbl.depth)
+            hit_l, pos_l = match.probe_pos(t0, t1, w0, w1, depth=tbl.depth)
+            # shard-local position -> global sorted position
+            gpos = pos_l + jax.lax.axis_index(AXIS).astype(U32) * np.uint32(per)
             hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
-            jsel_all = jax.lax.psum(jnp.where(hit_l, j_l + 1, 0), AXIS)
+            # a fragment lives in exactly one value shard: psum is a select
+            pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
             vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
             lanes = jnp.where(vals > 0, lanes, -1)
             jout = jnp.where(vals > 0,
-                             jsel_all[jnp.clip(lanes, 0, Lg - 1)] - 1, 0)
+                             pos_all[jnp.clip(lanes, 0, Lg - 1)] - 1, 0)
             count = hit.sum(dtype=jnp.int32)
 
             x_eq = u256.eq(px, cxb)
@@ -113,22 +120,22 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
         return (px2, py2) + outs
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+             in_specs=(P(AXIS, None), P(AXIS, None),
                        P(None, AXIS), P(None, AXIS)),
              out_specs=(P(None, AXIS), P(None, AXIS),
                         P(), P(), P(), P(), P()))
-    def stepper(t0, t1, perm, px, py):
-        out = local_step(t0[0], t1[0], perm[0], px, py)
+    def stepper(t0, t1, px, py):
+        out = local_step(t0[0], t1[0], px, py)
         return out
 
     sh_tab = NamedSharding(mesh, P(AXIS, None))
     sh_pts = NamedSharding(mesh, P(None, AXIS))
-    jitted = jax.jit(stepper, in_shardings=(sh_tab, sh_tab, sh_tab,
-                                            sh_pts, sh_pts))
+    jitted = jax.jit(stepper, in_shardings=(sh_tab, sh_tab, sh_pts, sh_pts))
 
     def run(px, py):
-        return jitted(t0s, t1s, perms, px, py)
+        return jitted(t0s, t1s, px, py)
 
+    run.perm = perm_host
     return run
 
 

@@ -55,6 +55,18 @@ class BabyTable:
     depth: int = 4
 
 
+def default_depth(m: int) -> int:
+    """Duplicate-chain scan depth for the 64-bit fragment probe. A true
+    hit is missed only if ≥depth OTHER entries share its first 32-bit
+    word; first words are ~Poisson(m/2^32), so depth 4/6/8 keeps the miss
+    probability < 1e-9 per hit up to m = 2^31."""
+    if m <= 1 << 26:
+        return 4
+    if m <= 1 << 29:
+        return 6
+    return 8
+
+
 def _builder_step(A: int, W: int, S: int):
     """Device fn emitting X fragments of keys [k0+1 .. k0+A*W*S]; same
     pivot/offset geometry as the search walker (walker.py), X-only."""
@@ -85,7 +97,7 @@ def _builder_step(A: int, W: int, S: int):
 
 
 def build_baby_table(m: int, pivots: int = 16, width: int = 512,
-                     steps: int = 4, depth: int = 4,
+                     steps: int = 4, depth: int | None = None,
                      progress: bool = False) -> BabyTable:
     """Build the j*G fragment table for j = 1..m.
 
@@ -128,7 +140,8 @@ def build_baby_table(m: int, pivots: int = 16, width: int = 512,
     return BabyTable(m=m,
                      t0=(spacked >> 32).astype(np.uint32),
                      t1=(spacked & 0xFFFFFFFF).astype(np.uint32),
-                     perm=perm, depth=depth)
+                     perm=perm,
+                     depth=depth if depth is not None else default_depth(m))
 
 
 # -- persistence (the -S semantics; reference keyhunt_bsgs_* files with
@@ -161,7 +174,8 @@ def load_table(m: int, directory: str = ".", verify: bool = True,
     if int(data["m"]) != m:
         raise ValueError(f"{path} holds a table for m={int(data['m']):#x}, "
                          f"wanted m={m:#x}")
-    tbl = BabyTable(m=m, t0=data["t0"], t1=data["t1"], perm=data["perm"])
+    tbl = BabyTable(m=m, t0=data["t0"], t1=data["t1"], perm=data["perm"],
+                    depth=default_depth(m))
     if verify:
         blob = tbl.t0.tobytes() + tbl.t1.tobytes() + tbl.perm.tobytes()
         want = bytes(data["sha256"].tobytes())
@@ -214,10 +228,11 @@ class BsgsConfig:
 def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
     """Jitted giant walk: state (px, py) of T*B lanes; per inner step,
     probe the table then advance every lane by -(B*2m)*G. The baby table
-    arrays (t0, t1, perm) are runtime arguments so the compile is shared
-    across tables of one size class (daemon requests, k-factor reuse).
+    arrays (t0, t1) are runtime arguments so the compile is shared across
+    tables of one size class (daemon requests, k-factor reuse); the
+    position→j permutation stays on host (only consulted for rare hits).
 
-    Outputs per step: top-K (lane, baby-index) hits, hit count, and a
+    Outputs per step: top-K (lane, sorted-position) hits, hit count, and a
     degenerate-lane flag/index (lane whose point equals ±advance point —
     resolved analytically by the host)."""
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
@@ -229,13 +244,12 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
     cxb = jnp.broadcast_to(cx, (8, L))
     cyb = jnp.broadcast_to(cy, (8, L))
 
-    def one(carry, _, t0c, t1c, permc):
+    def one(carry, _, t0c, t1c):
         px, py = carry                      # canonical (8, L)
-        hit, jidx = match.probe_index(t0c, t1c, permc, px[7], px[6],
-                                      depth=depth)
+        hit, pos = match.probe_pos(t0c, t1c, px[7], px[6], depth=depth)
         vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
         lanes = jnp.where(vals > 0, lanes, -1)
-        jsel = jnp.where(vals > 0, jidx[jnp.clip(lanes, 0, L - 1)], 0)
+        jsel = jnp.where(vals > 0, pos[jnp.clip(lanes, 0, L - 1)], 0)
         count = hit.sum(dtype=jnp.int32)
 
         # degenerate advance: P == ±C (x-equality). P == -C degenerates to
@@ -263,8 +277,8 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
         return (field.norm(x2), field.norm(y2)), (lanes, jsel, count,
                                                   flag_any, flag_lane)
 
-    def run(px, py, t0, t1, perm):
-        body = lambda c, x: one(c, x, t0, t1, perm)   # noqa: E731
+    def run(px, py, t0, t1):
+        body = lambda c, x: one(c, x, t0, t1)   # noqa: E731
         (px2, py2), outs = jax.lax.scan(body, (px, py), None, length=S)
         return (px2, py2) + outs
 
@@ -293,7 +307,7 @@ class BsgsEngine:
         self.meter = SpeedMeter()
         self.found: dict[int, int] = {}       # target index -> private key
         self.step_fn = make_giant_step_fn(cfg, len(self.targets), tbl.depth)
-        self._passes = self._build_passes()   # [(t0, t1, perm), ...]
+        self._passes = self._build_passes()   # [(t0_dev, t1_dev, perm_host)]
         self._t0, self._t1, self._perm = self._passes[0]
         self._offsets_cache: tuple | None = None
         import random as _r
@@ -307,12 +321,10 @@ class BsgsEngine:
         of the reference's GGSB block search, keyhunt.cpp:1477-1499)."""
         tbl = self.tbl
         if self.cfg.scheduler != "ggsb":
-            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1),
-                     jnp.asarray(tbl.perm))]
+            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1), tbl.perm)]
         count, size = self.cfg.ggsb_blocks()
         if count <= 1:
-            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1),
-                     jnp.asarray(tbl.perm))]
+            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1), tbl.perm)]
         pad_n = 1 << (max(size, 1) - 1).bit_length()
         passes = []
         for b in range(count):
@@ -325,7 +337,7 @@ class BsgsEngine:
                 t0 = np.concatenate([t0, np.full(fill, 0xFFFFFFFF, np.uint32)])
                 t1 = np.concatenate([t1, np.full(fill, 0xFFFFFFFF, np.uint32)])
                 perm = np.concatenate([perm, np.zeros(fill, np.uint32)])
-            passes.append((jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(perm)))
+            passes.append((jnp.asarray(t0), jnp.asarray(t1), perm))
         return passes
 
     # lane-offset table: l * (2m) * G for l = 0..B-1, built once ----------
@@ -468,7 +480,7 @@ class BsgsEngine:
                 if len(self.found) == len(self.targets):
                     break
             px, py, lanes, jsel, counts, flag_any, flag_lane = self.step_fn(
-                *state, self._t0, self._t1, self._perm)
+                *state, self._t0, self._t1)
             state = (px, py)
             state_c0 = c0 + span
             self._decode(c0, np.asarray(lanes), np.asarray(jsel),
@@ -499,7 +511,9 @@ class BsgsEngine:
                         continue
                     t, lane = divmod(l, B)
                     c = c0 + (lane + s * B) * cfg.stride
-                    j = int(jsel[s][k]) + 1
+                    # jsel is the sorted-table position; map to baby index
+                    # via the host-resident permutation of the active pass.
+                    j = int(self._perm[int(jsel[s][k])]) + 1
                     self._record(t, c - j)
                     self._record(t, c + j)
             if bool(flag_any[s]):

@@ -23,8 +23,9 @@ def _mesh():
 
 def test_shard_table_partitions():
     tbl = build_baby_table(M, pivots=2, width=32, steps=2)
-    t0s, t1s, perms = shard_table(tbl, D)
+    t0s, t1s, perm = shard_table(tbl, D)
     assert t0s.shape == (D, M // D)
+    assert perm.shape == (M,)         # position→j stays host-side, padded
     # shards are contiguous value ranges of the sorted table
     flat = t0s.reshape(-1).astype(np.uint64) << 32 | t1s.reshape(-1)
     assert (np.sort(flat) == flat).all()
@@ -64,7 +65,8 @@ def test_sharded_bsgs_finds_keys():
                 t, b = divmod(r, B)
                 g = d * B + b
                 c = c0 + (g + s * D * B) * stride
-                j = int(jsel[s][k]) + 1
+                # jsel is a global sorted position; host perm maps to j
+                j = int(step.perm[int(jsel[s][k])]) + 1
                 record(t, c - j)
                 record(t, c + j)
         c0 += span
