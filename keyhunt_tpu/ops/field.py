@@ -287,29 +287,41 @@ def batch_inv(x, axis: int = 1):
     never to invert zero (see walker pivot constraints).
     """
     assert axis in (1, -1) and x.ndim == 2, "expects (8, B)"
+    if _IMPL != "jnp" and jax.default_backend() != "cpu":
+        # two-launch fused kernel: the value-level tree below executes
+        # ~100 fusions and every fusion costs ~0.4 ms on this runtime
+        # (46 ms/inversion measured at B=2^18; the kernel pair is ~2 ms)
+        from . import pallas_field
+        return pallas_field.batch_inv(x)
+    n = x.shape[1]
+    # Pad to a power of two with ones (self-inverse, exact): every tree
+    # level is then a clean lane-aligned halving — odd level sizes force
+    # misaligned slices/concats that each relayout the whole array.
+    size = 1 << (n - 1).bit_length()
+    if size != n:
+        pad = jnp.broadcast_to(const(1, 2), (NLIMBS, size - n)).astype(U32)
+        x = jnp.concatenate([x, pad], axis=1)
+    # Pairing is (i, i + n/2) — contiguous halves, not even/odd: half
+    # slices and concats are free layout ops on TPU lanes, while stride-2
+    # slicing and interleaving force a lane shuffle at every tree level.
+    #
+    # optimization_barrier per level: tree levels feed two consumers each
+    # (the next level and the down-sweep); without the fence XLA's
+    # producer-fusion duplicates the whole upstream elementwise chain into
+    # every consumer, and the step cost explodes ~300x (measured: dx +
+    # batch_inv at B=2^18 is 27 ms fused vs 0.1 ms fenced).
+    x = jax.lax.optimization_barrier(x)
     stack = []
     cur = x
     while cur.shape[1] > 1:
-        odd = None
-        if cur.shape[1] % 2 == 1:
-            odd = cur[:, -1:]
-            cur = cur[:, :-1]
-        a, b = cur[:, 0::2], cur[:, 1::2]
-        stack.append((a, b, odd is not None))
-        cur = mul(a, b)
-        if odd is not None:
-            cur = jnp.concatenate([cur, odd], axis=1)
+        h = cur.shape[1] // 2
+        a, b = cur[:, :h], cur[:, h:]
+        stack.append((a, b))
+        cur = jax.lax.optimization_barrier(mul(a, b))
     out = inv(cur)
-    for a, b, had_odd in reversed(stack):
-        if had_odd:
-            inv_odd = out[:, -1:]
-            inv_pair = out[:, :-1]
-        else:
-            inv_odd = None
-            inv_pair = out
-        ia = mul(inv_pair, b)
-        ib = mul(inv_pair, a)
-        out = jnp.stack([ia, ib], axis=2).reshape(8, -1)
-        if inv_odd is not None:
-            out = jnp.concatenate([out, inv_odd], axis=1)
-    return out
+    for a, b in reversed(stack):
+        ia = mul(out, b)
+        ib = mul(out, a)
+        out = jax.lax.optimization_barrier(
+            jnp.concatenate([ia, ib], axis=1))
+    return out[:, :n]

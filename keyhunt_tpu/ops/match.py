@@ -86,6 +86,41 @@ def probe_pos(t0, t1, w0, w1, depth: int = 4):
 
 def topk_indices(mask_flat, k: int):
     """Compress a boolean hit mask to at most k flat indices (-1 padded).
-    The rare-hit path: k bounds hits *per step*, host re-scans if saturated."""
-    vals, idxs = jax.lax.top_k(mask_flat.astype(jnp.int32), k)
-    return jnp.where(vals > 0, idxs, -1), mask_flat.sum(dtype=jnp.int32)
+    The rare-hit path: k bounds hits *per step*, host re-scans if saturated.
+
+    `lax.top_k` over the full candidate space costs milliseconds on TPU
+    (it sorts); a search step's mask is all-false except when a key is
+    actually found, so the extraction is gated behind a `lax.cond` on the
+    (cheap) hit count — the hot loop pays one reduction, the sort runs
+    only on the handful of steps that ever contain a hit."""
+    count = mask_flat.sum(dtype=jnp.int32)
+
+    def extract(m):
+        vals, idxs = jax.lax.top_k(m.astype(jnp.int32), k)
+        return jnp.where(vals > 0, idxs, -1)
+
+    idxs = jax.lax.cond(count > 0, extract,
+                        lambda m: jnp.full((k,), -1, jnp.int32), mask_flat)
+    return idxs, count
+
+
+def topk_with_payload(mask, payload, k: int):
+    """(lanes, payload[lanes], count) for up to k set positions of `mask`,
+    -1/0 padded — same `lax.cond` gating as `topk_indices` (the sort +
+    gather run only on steps that actually contain a hit)."""
+    count = mask.sum(dtype=jnp.int32)
+    n = mask.shape[0]
+
+    def extract(args):
+        m, p = args
+        vals, idx = jax.lax.top_k(m.astype(jnp.int32), k)
+        lanes = jnp.where(vals > 0, idx, -1)
+        sel = jnp.where(vals > 0, p[jnp.clip(idx, 0, n - 1)], 0)
+        return lanes, sel
+
+    lanes, sel = jax.lax.cond(
+        count > 0, extract,
+        lambda args: (jnp.full((k,), -1, jnp.int32),
+                      jnp.zeros((k,), payload.dtype)),
+        (mask, payload))
+    return lanes, sel, count

@@ -179,14 +179,49 @@ def _accumulate_conv(a, b, ev_ref, od_ref):
         od_ref[i + 1:i + 9] = od_ref[i + 1:i + 9] + o_i1
 
 
+def _accumulate_conv_sqr(a, ev_ref, od_ref):
+    """Squaring convolution: limb pairs (i, j) and (j, i) contribute the
+    same four half-products to the same columns (the odd accumulator is
+    symmetric in its lh/hl terms), so only pairs j >= i are computed and
+    the j > i tail is doubled — 144 half-multiplies instead of 256.
+    Column bounds are unchanged (the doubled sums equal the full sums)."""
+    ev_ref[:] = jnp.zeros(ev_ref.shape, U32)
+    od_ref[:] = jnp.zeros(od_ref.shape, U32)
+    for i in range(8):
+        # products of limb i against limbs j = i..7 only
+        tail = a[i:]
+        alo_i, ahi_i = a[i] & M16, a[i] >> 16
+        blo, bhi = tail & M16, tail >> 16
+        p_ll = alo_i * blo
+        p_lh = alo_i * bhi
+        p_hl = ahi_i * blo
+        p_hh = ahi_i * bhi
+        e_i = p_ll & M16
+        o_i = (p_ll >> 16) + (p_lh & M16) + (p_hl & M16)
+        e_i1 = (p_lh >> 16) + (p_hl >> 16) + (p_hh & M16)
+        o_i1 = p_hh >> 16
+        # double the j > i rows (row 0 of each term is the diagonal j == i)
+        if i < 7:
+            dbl = jnp.concatenate([jnp.zeros((1,) + e_i.shape[1:], U32),
+                                   jnp.ones((8 - i - 1,) + e_i.shape[1:], U32)])
+            e_i = e_i + e_i * dbl
+            o_i = o_i + o_i * dbl
+            e_i1 = e_i1 + e_i1 * dbl
+            o_i1 = o_i1 + o_i1 * dbl
+        k = 2 * i            # column of the (i, i) term is i + j = 2i
+        ev_ref[k:k + (8 - i)] = ev_ref[k:k + (8 - i)] + e_i
+        ev_ref[k + 1:k + 1 + (8 - i)] = ev_ref[k + 1:k + 1 + (8 - i)] + e_i1
+        od_ref[k:k + (8 - i)] = od_ref[k:k + (8 - i)] + o_i
+        od_ref[k + 1:k + 1 + (8 - i)] = od_ref[k + 1:k + 1 + (8 - i)] + o_i1
+
+
 def _mul_kernel(a_ref, b_ref, o_ref, ev_ref, od_ref):
     _accumulate_conv(a_ref[:], b_ref[:], ev_ref, od_ref)
     o_ref[:] = _finish(ev_ref[:], od_ref[:])
 
 
 def _sqr_kernel(a_ref, o_ref, ev_ref, od_ref):
-    a = a_ref[:]
-    _accumulate_conv(a, a, ev_ref, od_ref)
+    _accumulate_conv_sqr(a_ref[:], ev_ref, od_ref)
     o_ref[:] = _finish(ev_ref[:], od_ref[:])
 
 
@@ -268,3 +303,179 @@ def sqr(a, interpret: bool = False):
     tile = min(TILE, total)
     out = _sqr_call(total, tile, interpret)(_flatten3(a))
     return out.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused batch inversion (Montgomery's trick) in TWO kernel launches.
+#
+# Why: on this runtime every executed fusion costs ~0.4 ms regardless of
+# size, and the jnp product tree + Fermat chain executes ~100 fusions —
+# 46 ms for one batch inversion (measured, B = 2^18). Folding the whole
+# tree into kernels pays the launch cost twice:
+#   K1  per tile: in-VMEM product tree over the tile's sublane rows ->
+#       one (8, 1, 128) "mini-root" row per tile (lane columns stay
+#       independent subtrees throughout).
+#   K2  grid step 0: tree-reduce all mini-roots, ONE Fermat inversion
+#       (fori_loop over the fixed exponent bits, ~510 in-VMEM muls),
+#       down-sweep to per-tile root inverses kept in VMEM scratch
+#       (scratch persists across the sequential grid). Every step: rebuild
+#       its tile's tree in VMEM and down-sweep from its root inverse.
+# Total: ~4 mul-equivalents of VMEM compute + 2 launches, vs 3 muls +
+# ~100 launches for the value-level tree.
+#
+# The reference's equivalent is IntGroup::ModInv (one DRS62 xgcd + 3(n-1)
+# muls, secp256k1/IntGroup.cpp:36-57); Fermat replaces the xgcd because a
+# data-dependent loop has no place on the VPU.
+# ---------------------------------------------------------------------------
+
+P_INT = 2**256 - 2**32 - 977
+#: exponent bits of p-2 after the leading 1 (MSB-first square-and-multiply)
+_PM2_BITS = np.array([int(c) for c in bin(P_INT - 2)[3:]], dtype=np.int32)
+
+
+#: tree leaves per mini-root row block: Mosaic requires block sublane dims
+#: divisible by 8, so per-tile trees stop at 8 sublane rows (8x128 lanes)
+_ROOT_ROWS = 8
+
+
+def _tree_up(lvl, stop_rows: int = 1):
+    """In-kernel product tree along the sublane axis: (8, r, 128) halved
+    down to (8, stop_rows, 128). Lane columns are independent subtrees."""
+    levels = []
+    while lvl.shape[1] > stop_rows:
+        h = lvl.shape[1] // 2
+        a, b = lvl[:, :h], lvl[:, h:]
+        levels.append((a, b))
+        lvl = _mul_mod_p(a, b)
+    return levels, lvl
+
+
+def _tree_down(inv, levels):
+    for a, b in reversed(levels):
+        ia = _mul_mod_p(inv, b)
+        ib = _mul_mod_p(inv, a)
+        inv = jnp.concatenate([ia, ib], axis=1)
+    return inv
+
+
+#: max tiles per fused call — bounds the global-phase VMEM footprint
+#: (roots + level scratch + conv temps at ntiles*8 sublane rows)
+_MAX_NTILES = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _binv_calls(nchunks: int, ntiles: int, tile: int, interpret: bool):
+    rows = tile // 128
+    rr = min(_ROOT_ROWS, rows)
+    gr = ntiles * rr               # root rows per chunk
+
+    def up_kernel(x_ref, root_ref):
+        _, root = _tree_up(x_ref[:], rr)
+        root_ref[:] = root
+
+    def down_kernel(bits_ref, x_ref, roots_ref, out_ref, rinv_ref, lvl_ref):
+        # grid is (chunk, tile): each chunk is an independent inversion
+        # batch with its own Fermat; its global phase runs at tile 0 and
+        # parks per-tile root inverses in scratch for the chunk's tiles
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            # up-sweep over all mini-roots; level products are parked in
+            # scratch (not retained as values) to keep peak VMEM at one
+            # mul's conv temps instead of the whole tree
+            offs, r, src_off = [], gr, -1
+            off = 0
+            while r > 1:
+                h = r // 2
+                src = roots_ref[:] if src_off < 0 else \
+                    lvl_ref[:, pl.ds(src_off, r), :]
+                prod = _mul_mod_p(src[:, :h], src[:, h:])
+                lvl_ref[:, pl.ds(off, h), :] = prod
+                offs.append((src_off, off, r))
+                src_off, off, r = off, off + h, h
+
+            base = lvl_ref[:, pl.ds(src_off, 1), :]
+
+            def body(i, rv):
+                r2 = _mul_mod_p(rv, rv)
+                rm = _mul_mod_p(r2, base)
+                return jnp.where(bits_ref[i] != 0, rm, r2)
+
+            inv = jax.lax.fori_loop(0, _PM2_BITS.shape[0], body, base)
+            for s_off, _, r in reversed(offs):
+                h = r // 2
+                src = roots_ref[:] if s_off < 0 else \
+                    lvl_ref[:, pl.ds(s_off, r), :]
+                ia = _mul_mod_p(inv, src[:, h:])
+                ib = _mul_mod_p(inv, src[:, :h])
+                inv = jnp.concatenate([ia, ib], axis=1)
+            rinv_ref[:] = inv
+
+        j = pl.program_id(1)
+        levels, _ = _tree_up(x_ref[:], rr)
+        inv = rinv_ref[:, pl.ds(j * rr, rr), :]
+        out_ref[:] = _tree_down(inv, levels)
+
+    x_spec2 = pl.BlockSpec((8, rows, 128), lambda i, j: (0, i * ntiles + j, 0),
+                           memory_space=pltpu.VMEM)
+    up = pl.pallas_call(
+        up_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, nchunks * gr, 128), jnp.uint32),
+        grid=(nchunks * ntiles,),
+        in_specs=[pl.BlockSpec((8, rows, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, rr, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    down = pl.pallas_call(
+        down_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, nchunks * ntiles * rows, 128),
+                                       jnp.uint32),
+        grid=(nchunks, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # bits
+            x_spec2,                                          # x tile
+            pl.BlockSpec((8, gr, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),            # chunk roots
+        ],
+        out_specs=x_spec2,
+        scratch_shapes=[pltpu.VMEM((8, gr, 128), jnp.uint32),
+                        pltpu.VMEM((8, gr, 128), jnp.uint32)],
+        interpret=interpret,
+    )
+    return up, down
+
+
+#: limbs of 1 for padding (1^-1 = 1; padded lanes are exact and discarded)
+_ONE_COL = np.zeros((8, 1), np.uint32)
+_ONE_COL[0, 0] = 1
+
+
+def batch_inv(x, tile: int | None = None, interpret: bool = False):
+    """Elementwise modular inverse of (8, B) lazy values in TWO kernel
+    launches. B is padded with ones to whole chunks of MAX_NTILES*tile;
+    each chunk is an independent product tree with its own in-kernel
+    Fermat root inversion (chunks are extra grid steps, not extra
+    launches). Zero elements poison their chunk (same contract as the
+    value-level tree)."""
+    assert x.ndim == 2
+    B = x.shape[1]
+    min_tile = 128 if interpret else 128 * _ROOT_ROWS
+    tile = tile or min(TILE, max(min_tile, 1 << (B - 1).bit_length()))
+    assert tile % min_tile == 0
+    chunk = _MAX_NTILES * tile
+    nchunks = -(-B // chunk)
+    if nchunks == 1:
+        ntiles = 1 << (-(-B // tile) - 1).bit_length()
+    else:
+        ntiles = _MAX_NTILES
+    total = nchunks * ntiles * tile
+    if total != B:
+        pad = jnp.broadcast_to(jnp.asarray(_ONE_COL), (8, total - B))
+        x = jnp.concatenate([x, pad], axis=1)
+    up, down = _binv_calls(nchunks, ntiles, tile, interpret)
+    x3 = x.reshape(8, total // 128, 128)
+    roots = up(x3)
+    bits = jnp.asarray(_PM2_BITS)
+    inv3 = down(bits, x3, roots)
+    return inv3.reshape(8, total)[:, :B]

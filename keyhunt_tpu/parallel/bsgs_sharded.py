@@ -88,11 +88,8 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
             hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
             # a fragment lives in exactly one value shard: psum is a select
             pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
-            vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
-            lanes = jnp.where(vals > 0, lanes, -1)
-            jout = jnp.where(vals > 0,
-                             pos_all[jnp.clip(lanes, 0, Lg - 1)] - 1, 0)
-            count = hit.sum(dtype=jnp.int32)
+            lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
+            jout = jnp.where(lanes >= 0, possel - 1, 0)
 
             x_eq = u256.eq(px, cxb)
             y_eq = u256.eq(py, cyb)

@@ -247,10 +247,7 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
     def one(carry, _, t0c, t1c):
         px, py = carry                      # canonical (8, L)
         hit, pos = match.probe_pos(t0c, t1c, px[7], px[6], depth=depth)
-        vals, lanes = jax.lax.top_k(hit.astype(jnp.int32), K)
-        lanes = jnp.where(vals > 0, lanes, -1)
-        jsel = jnp.where(vals > 0, pos[jnp.clip(lanes, 0, L - 1)], 0)
-        count = hit.sum(dtype=jnp.int32)
+        lanes, jsel, count = match.topk_with_payload(hit, pos, K)
 
         # degenerate advance: P == ±C (x-equality). P == -C degenerates to
         # doubling (select the doubling slope and keep walking); P == +C
@@ -283,6 +280,60 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
         return (px2, py2) + outs
 
     return jax.jit(run)
+
+
+def seed_lanes(cfg: BsgsConfig, targets: list, c0: int, on_exact=None,
+               lane_offsets=None):
+    """Host: lane points P[t, l] = Q_t - (c0 + l*stride)*G as (8, T*B)
+    device arrays.
+
+    Native fast path (keyhunt_native.cpp `kh_ec_seed_lanes`): one scalar
+    mult + a Jacobian chain + ONE batched inversion per target — the host
+    analog of the reference's per-thread `point_aux` setup
+    (keyhunt.cpp:4635-4642). Python fallback for builds without the .so.
+
+    A lane that lands exactly on Q (point at infinity) IS the private key
+    c0 + l*stride: `on_exact(t, key)` is invoked and the lane replaced by
+    a dummy to keep shapes static.
+    """
+    from .. import native
+    B = cfg.lanes
+    if on_exact is None:
+        on_exact = lambda t, key: None        # noqa: E731
+    if native.available():
+        xc = np.empty((8, len(targets) * B), np.uint32)
+        yc = np.empty((8, len(targets) * B), np.uint32)
+        for t, q in enumerate(targets):
+            xy, infm = native.seed_lanes(q, c0, cfg.stride, B)
+            for l in np.nonzero(infm)[0]:
+                on_exact(t, c0 + int(l) * cfg.stride)
+                xy[l, :32] = np.frombuffer(ecc.G[0].to_bytes(32, "big"), np.uint8)
+                xy[l, 32:] = np.frombuffer(ecc.G[1].to_bytes(32, "big"), np.uint8)
+            # (B, 64) big-endian x||y rows -> (8, B) LE uint32 limb cols
+            words = xy.reshape(B, 16, 4)[..., ::-1].copy().view(np.uint32)
+            words = words.reshape(B, 16)             # BE word order
+            xc[:, t * B:(t + 1) * B] = words[:, 7::-1].T
+            yc[:, t * B:(t + 1) * B] = words[:, 15:7:-1].T
+        return jnp.asarray(xc), jnp.asarray(yc)
+    if lane_offsets is None:
+        step = ecc.ec_mul(cfg.stride)
+        offs, acc = [None], None
+        for _ in range(B - 1):
+            acc = ecc.ec_add(acc, step)
+            offs.append(acc)
+        lane_offsets = lambda: offs               # noqa: E731
+    offs = lane_offsets()
+    xs, ys = [], []
+    for t, q in enumerate(targets):
+        sbase = ecc.ec_sub(q, ecc.ec_mul(c0))   # Q - c0*G
+        for l in range(B):
+            pt = ecc.ec_sub(sbase, offs[l]) if offs[l] is not None else sbase
+            if pt is None:
+                on_exact(t, c0 + l * cfg.stride)
+                pt = ecc.G
+            xs.append(pt[0])
+            ys.append(pt[1])
+    return (jnp.asarray(u256.from_ints(xs)), jnp.asarray(u256.from_ints(ys)))
 
 
 class BsgsEngine:
@@ -355,45 +406,9 @@ class BsgsEngine:
 
     def _seed(self, c0: int):
         """Host: P[t, l] = Q_t - (c0 + l*stride)*G for every target/lane.
-
-        Native fast path (keyhunt_native.cpp `kh_ec_seed_lanes`): one scalar
-        mult + a Jacobian chain + ONE batched inversion per target — the
-        host analog of the reference's per-thread `point_aux` setup
-        (keyhunt.cpp:4635-4642). Python fallback for builds without the .so.
-        """
-        from .. import native
-        B = self.cfg.lanes
-        if native.available():
-            xc = np.empty((8, len(self.targets) * B), np.uint32)
-            yc = np.empty((8, len(self.targets) * B), np.uint32)
-            for t, q in enumerate(self.targets):
-                xy, infm = native.seed_lanes(q, c0, self.cfg.stride, B)
-                for l in np.nonzero(infm)[0]:
-                    # Q == (c0 + l*stride)*G: the key, exactly. Record and
-                    # substitute a dummy lane to keep shapes static.
-                    self._record(t, c0 + int(l) * self.cfg.stride)
-                    xy[l, :32] = np.frombuffer(ecc.G[0].to_bytes(32, "big"), np.uint8)
-                    xy[l, 32:] = np.frombuffer(ecc.G[1].to_bytes(32, "big"), np.uint8)
-                # (B, 64) big-endian x||y rows -> (8, B) LE uint32 limb cols
-                words = xy.reshape(B, 16, 4)[..., ::-1].copy().view(np.uint32)
-                words = words.reshape(B, 16)             # BE word order
-                xc[:, t * B:(t + 1) * B] = words[:, 7::-1].T
-                yc[:, t * B:(t + 1) * B] = words[:, 15:7:-1].T
-            return jnp.asarray(xc), jnp.asarray(yc)
-        offs = self._lane_offsets()
-        xs, ys = [], []
-        for t, q in enumerate(self.targets):
-            sbase = ecc.ec_sub(q, ecc.ec_mul(c0))   # Q - c0*G
-            for l in range(self.cfg.lanes):
-                pt = ecc.ec_sub(sbase, offs[l]) if offs[l] is not None else sbase
-                if pt is None:
-                    # Q == (c0 + l*stride)*G: the key, exactly. Record and
-                    # substitute a dummy lane to keep shapes static.
-                    self._record(t, c0 + l * self.cfg.stride)
-                    pt = ecc.G
-                xs.append(pt[0])
-                ys.append(pt[1])
-        return (jnp.asarray(u256.from_ints(xs)), jnp.asarray(u256.from_ints(ys)))
+        Exact-landing lanes (Q on a stride center) are recorded as found."""
+        return seed_lanes(self.cfg, self.targets, c0, on_exact=self._record,
+                          lane_offsets=self._lane_offsets)
 
     def _record(self, t: int, key: int):
         key %= ecc.N

@@ -68,3 +68,15 @@ def test_broadcast_and_rank3(vectors):
     a3 = a.reshape(8, 2, 128)
     out = pf.mul(a3, b.reshape(8, 2, 128), interpret=True)
     assert out.shape == (8, 2, 128)
+
+
+def test_batch_inv_fused(vectors):
+    """Two-launch fused inversion vs python pow; odd B exercises the
+    ones-padding, tile=128 exercises multi-tile + the global phase."""
+    avals, _, a, _ = vectors
+    vals = [v % P or 7 for v in avals[:300 // 2] * 2][:300]
+    x = jnp.asarray(u256.from_ints(vals))
+    out = pf.batch_inv(x, tile=128, interpret=True)
+    got = u256.to_ints(field.norm(out))
+    for v, g in zip(vals, got):
+        assert g == pow(v, P - 2, P)

@@ -10,10 +10,13 @@ Usage: python tools/bench_ops.py [--batch 262144] [--iters 20] [op ...]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(name, fn, iters, batch):
@@ -94,10 +97,29 @@ def main(argv=None):
         from keyhunt_tpu.ops import curve
         inv = jnp.asarray(rng.integers(0, 2**32, (8, B), dtype=np.uint64).astype(np.uint32))
 
-        def ec():
-            return curve.add_with_inv(a, b, b, a, inv, want_y=False)
+        def ec(px, py, qx, qy, iv):
+            return curve.add_with_inv(px, py, qx, qy, iv, want_y=False)
         f = jax.jit(ec)
-        timeit("add_with_inv (X only)", f, args.iters, B)
+        timeit("add_with_inv (X only)", lambda: f(a, b, b, a, inv),
+               args.iters, B)
+    if on("topk"):
+        mask = jnp.zeros(2 * B, bool)
+        f = jax.jit(match.topk_indices, static_argnums=1)
+        timeit("topk_indices (2B mask)", lambda: f(mask, 8), args.iters, B)
+    if on("step"):
+        from keyhunt_tpu.search.walker import (
+            WalkerConfig, make_step_fn, seed_pivots)
+        width = max(B // 64, 128)
+        for steps in (1, 16):
+            cfg = WalkerConfig(pivots=64, width=width, steps=steps,
+                               mode="compressed")
+            t0w, t1w = match.build_table([(0xDEADBEEF, 0x12345678)])
+            t0w, t1w = jnp.asarray(t0w), jnp.asarray(t1w)
+            stepf = make_step_fn(cfg)
+            px, py = seed_pivots(cfg, 1 << 65)
+            timeit(f"walker step (S={steps})",
+                   lambda: stepf(px, py, t0w, t1w),
+                   max(args.iters // steps, 2), B * steps)
     return 0
 
 
