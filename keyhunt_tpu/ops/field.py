@@ -133,21 +133,35 @@ def _use_pallas(shape) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def _mul_jnp(a, b):
+    return _reduce_512(mul_512_halves(a, b))
+
+
+def _sqr_jnp(a):
+    return _reduce_512(sqr_512_halves(a))
+
+
 def mul(a, b):
     """(a * b) mod p, lazy inputs/output."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     if _use_pallas(shape):
         from . import pallas_field
-        return pallas_field.mul(a, b)
-    return _reduce_512(mul_512_halves(a, b))
+        # platform_dependent: one traced graph lowers to the Pallas kernel
+        # on accelerators and the jnp expansion on CPU devices — a CPU-mesh
+        # shard_map inside a TPU-default process picks the right branch at
+        # lowering time (Pallas has no non-interpret CPU lowering).
+        return jax.lax.platform_dependent(
+            a, b, cpu=_mul_jnp, default=pallas_field.mul)
+    return _mul_jnp(a, b)
 
 
 def sqr(a):
     """(a * a) mod p (saves ~half the half-limb products vs `mul`)."""
     if _use_pallas(a.shape):
         from . import pallas_field
-        return pallas_field.sqr(a)
-    return _reduce_512(sqr_512_halves(a))
+        return jax.lax.platform_dependent(
+            a, cpu=_sqr_jnp, default=pallas_field.sqr)
+    return _sqr_jnp(a)
 
 
 def mul_small(a, k: int):
@@ -290,9 +304,15 @@ def batch_inv(x, axis: int = 1):
     if _IMPL != "jnp" and jax.default_backend() != "cpu":
         # two-launch fused kernel: the value-level tree below executes
         # ~100 fusions and every fusion costs ~0.4 ms on this runtime
-        # (46 ms/inversion measured at B=2^18; the kernel pair is ~2 ms)
+        # (46 ms/inversion measured at B=2^18; the kernel pair is ~2 ms).
+        # platform_dependent keeps CPU-mesh lowerings on the jnp tree.
         from . import pallas_field
-        return pallas_field.batch_inv(x)
+        return jax.lax.platform_dependent(
+            x, cpu=_batch_inv_tree, default=pallas_field.batch_inv)
+    return _batch_inv_tree(x)
+
+
+def _batch_inv_tree(x):
     n = x.shape[1]
     # Pad to a power of two with ones (self-inverse, exact): every tree
     # level is then a clean lane-aligned halving — odd level sizes force

@@ -120,7 +120,10 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
              in_specs=(P(AXIS, None), P(AXIS, None),
                        P(None, AXIS), P(None, AXIS)),
              out_specs=(P(None, AXIS), P(None, AXIS),
-                        P(), P(), P(), P(), P()))
+                        P(), P(), P(), P(), P()),
+             # Pallas calls inside the body don't declare varying-mesh-axes
+             # metadata; vma checking (default-on since jax 0.9) rejects them.
+             check_vma=False)
     def stepper(t0, t1, px, py):
         out = local_step(t0[0], t1[0], px, py)
         return out
