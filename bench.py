@@ -1,15 +1,20 @@
-"""Benchmark driver: measures walker throughput on the attached accelerator
-and prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark driver: measures search throughput on the attached accelerator
+and prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
-Headline metric: effective keys/s in compressed address/rmd160 mode (the
-reference's north-star counter, `keyhunt.cpp:2850-2962`). Baseline:
-4.76 Mkeys/s — the reference's single-thread address-mode run
-(README.md:244, BASELINE.md).
+Default run (`python bench.py`, the driver's command) benches BOTH:
+- BSGS — the flagship mode and the HEADLINE metric. Effective keyspace
+  covered per second (giant points/s x 2m, the reference's own counting,
+  `keyhunt.cpp:2871-2874`). Baseline row: 15.2 Tkeys/s, the reference's
+  1-thread n=2^44 k=1 run (README.md:812-817; BASELINE.md).
+- the compressed walker (address/rmd160 engine) — reported in the
+  "secondary" field. With --endo (default) keys are counted x6
+  (keyhunt.cpp:2883-2891); the comparable reference row is the 5.82 Mkeys/s
+  endomorphism vanity run (README.md:301), and the ratio against the
+  non-endo 4.76 Mkeys/s address row (README.md:244) is ALSO emitted at
+  matching x2 counting ("vs_baseline_x2_counting") for honest comparison.
 
-`--mode bsgs` instead measures the flagship BSGS mode (effective keyspace
-covered per second: giant points/s x 2m — the same counting the reference
-uses, `keyhunt.cpp:2871-2874`). Baseline: 15.2 Tkeys/s — the reference's
-1-thread default-n k=1 run (README.md:812-817, BASELINE.md).
+The baby table persists in --tmpdir between runs (m-keyed name), so the
+build cost is paid once per m.
 """
 
 from __future__ import annotations
@@ -19,27 +24,58 @@ import json
 import sys
 import time
 
-BASELINE_ADDRESS_KEYS_PER_S = 4.76e6
-BASELINE_BSGS_KEYS_PER_S = 15.2e12
+BASELINE_ADDRESS_KEYS_PER_S = 4.76e6      # README.md:244 (x2 counting)
+BASELINE_VANITY_ENDO_KEYS_PER_S = 5.82e6  # README.md:301 (x6 counting, -e)
+BASELINE_BSGS_KEYS_PER_S = 15.2e12        # README.md:812-817 (k=1, 1 thread)
 
 
-def bench_bsgs(args) -> int:
+def _steady_rate(step, state, seconds, pipeline=2):
+    """Timed loop with a bounded async pipeline (hides dispatch latency
+    without flooding the device queue). `step(*state)` must return the new
+    state tuple first and something blockable last."""
+    import jax
+    calls = 0
+    inflight = []
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        out = step(*state)
+        state = out[:len(state)]
+        inflight.append(out[-1])
+        if len(inflight) > pipeline:
+            jax.block_until_ready(inflight.pop(0))
+        calls += 1
+    jax.block_until_ready(inflight)
+    return calls, time.time() - t0
+
+
+def bench_bsgs(args, emit=True):
     from keyhunt_tpu import runtime
     runtime.setup()
     import jax
     import jax.numpy as jnp
     from keyhunt_tpu.ref import ecc
     from keyhunt_tpu.search.bsgs import (
-        BsgsConfig, build_baby_table, make_giant_step_fn, seed_lanes)
+        BsgsConfig, build_baby_table, load_table, save_table, table_path,
+        make_giant_step_fn, seed_lanes)
 
     cfg = BsgsConfig(m=args.m, lanes=args.lanes, steps=args.steps)
     if args.verbose:
         print(f"[bench] devices={jax.devices()} cfg={cfg}",
               file=sys.stderr, flush=True)
     t_b = time.time()
-    tbl = build_baby_table(cfg.m)
+    path = table_path(cfg.m, args.tmpdir)
+    try:
+        tbl = load_table(cfg.m, path=path, verify=False)
+    except Exception:
+        tbl = None
+    if tbl is None:
+        tbl = build_baby_table(cfg.m, pivots=64, width=2048, steps=4)
+        try:
+            save_table(tbl, path=path)
+        except Exception as exc:
+            print(f"[bench] table save failed: {exc}", file=sys.stderr)
     if args.verbose:
-        print(f"[bench] baby table m=2^{cfg.m.bit_length()-1} built in "
+        print(f"[bench] baby table m=2^{cfg.m.bit_length()-1} ready in "
               f"{time.time()-t_b:.1f}s", file=sys.stderr, flush=True)
     t0_, t1_ = jnp.asarray(tbl.t0), jnp.asarray(tbl.t1)
     step = make_giant_step_fn(cfg, n_targets=1, depth=tbl.depth)
@@ -53,59 +89,40 @@ def bench_bsgs(args) -> int:
         print(f"[bench] compile+first call {time.time()-t_c:.1f}s",
               file=sys.stderr, flush=True)
 
-    calls = 0
-    inflight = []
-    t0 = time.time()
-    while time.time() - t0 < args.seconds:
-        px, py, lanes, jsel, counts, fa, fl = step(px, py, t0_, t1_)
-        inflight.append(counts)
-        if len(inflight) > 2:
-            jax.block_until_ready(inflight.pop(0))
-        calls += 1
-    jax.block_until_ready(inflight)
-    dt = time.time() - t0
+    fn = lambda px, py: step(px, py, t0_, t1_)      # noqa: E731
+    calls, dt = _steady_rate(fn, (px, py), args.seconds)
     rate = calls * cfg.keys_per_call(1) / dt
+    points = calls * cfg.lanes * cfg.steps / dt
     if args.verbose:
-        print(f"[bench] {calls} calls in {dt:.2f}s", file=sys.stderr, flush=True)
-    print(json.dumps({
+        print(f"[bench] {calls} calls in {dt:.2f}s "
+              f"({points/1e6:.1f} M giant points/s)", file=sys.stderr, flush=True)
+    result = {
         "metric": f"keys_per_sec_bsgs_m{cfg.m:#x}",
         "value": round(rate, 1),
         "unit": "keys/s",
+        "giant_points_per_sec": round(points, 1),
         "vs_baseline": round(rate / BASELINE_BSGS_KEYS_PER_S, 3),
-    }), flush=True)
-    return 0
+        "baseline_row": "README.md:812-817 BSGS k=1 1-thread 15.2 Tkeys/s",
+    }
+    if emit:
+        print(json.dumps(result), flush=True)
+    return result
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="compressed",
-                    choices=["compressed", "xpoint", "uncompressed", "eth",
-                             "bsgs"])
-    ap.add_argument("--m", type=int, default=1 << 24,
-                    help="bsgs: baby-table size")
-    ap.add_argument("--lanes", type=int, default=32768,
-                    help="bsgs: giant lanes")
-    ap.add_argument("--pivots", type=int, default=64)
-    ap.add_argument("--width", type=int, default=4096)
-    ap.add_argument("--steps", type=int, default=16)
-    ap.add_argument("--endo", action=argparse.BooleanOptionalAction, default=True,
-                    help="x6 endomorphism counting (reference -e rules); --no-endo disables")
-    ap.add_argument("--seconds", type=float, default=15.0)
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args(argv)
-
-    if args.mode == "bsgs":
-        return bench_bsgs(args)
-
+def bench_walker(args, emit=True):
     from keyhunt_tpu import runtime
     runtime.setup()
     import jax
-    import numpy as np
     from keyhunt_tpu.ops import match
     from keyhunt_tpu.search.walker import WalkerConfig, make_step_fn, seed_pivots
 
-    cfg = WalkerConfig(pivots=args.pivots, width=args.width, steps=args.steps,
-                       mode=args.mode, endo=args.endo)
+    if args.hash_impl != "auto":
+        from keyhunt_tpu.ops import hash160 as _h160
+        _h160.set_impl(args.hash_impl)
+    mode = args.mode if args.mode not in ("all", "bsgs") else "compressed"
+    cfg = WalkerConfig(pivots=args.pivots, width=args.width,
+                       steps=args.steps_walker, mode=mode,
+                       endo=args.endo and mode in ("compressed", "xpoint"))
     # one unreachable target: full probe work, no hit traffic
     t0_, t1_ = match.build_table([(0xDEADBEEF, 0x12345678)])
     if args.verbose:
@@ -121,31 +138,70 @@ def main(argv=None) -> int:
         print(f"[bench] compile+first call {time.time()-t_setup:.1f}s",
               file=sys.stderr, flush=True)
 
-    # steady state: pivot state chains call-to-call (no result caching
-    # possible). Bounded 2-deep pipeline: hides dispatch latency without
-    # letting the async queue build up (an unbounded enqueue once flooded
-    # the device for an hour).
-    calls = 0
-    inflight = []
-    t0 = time.time()
-    while time.time() - t0 < args.seconds:
-        px, py, hits, counts = step(px, py, t0_, t1_)
-        inflight.append(counts)
-        if len(inflight) > 2:
-            jax.block_until_ready(inflight.pop(0))
-        calls += 1
-    jax.block_until_ready(inflight)
-    dt = time.time() - t0
+    fn = lambda px, py: step(px, py, t0_, t1_)      # noqa: E731
+    calls, dt = _steady_rate(fn, (px, py), args.seconds)
     keys = calls * cfg.keys_per_call * cfg.keys_per_point
     rate = keys / dt
+    points = calls * cfg.keys_per_call / dt
     if args.verbose:
-        print(f"[bench] {calls} calls in {dt:.2f}s", file=sys.stderr, flush=True)
-    print(json.dumps({
-        "metric": f"keys_per_sec_{args.mode}",
+        print(f"[bench] {calls} calls in {dt:.2f}s "
+              f"({points/1e6:.1f} M points/s)", file=sys.stderr, flush=True)
+    result = {
+        "metric": f"keys_per_sec_{mode}" + ("_endo" if cfg.endo else ""),
         "value": round(rate, 1),
         "unit": "keys/s",
-        "vs_baseline": round(rate / BASELINE_ADDRESS_KEYS_PER_S, 3),
-    }), flush=True)
+        "points_per_sec": round(points, 1),
+        "vs_baseline": round(rate / (BASELINE_VANITY_ENDO_KEYS_PER_S if cfg.endo
+                                     else BASELINE_ADDRESS_KEYS_PER_S), 3),
+        "baseline_row": ("README.md:301 vanity -e 5.82 Mkeys/s (x6 counting)"
+                         if cfg.endo else
+                         "README.md:244 address 4.76 Mkeys/s (x2 counting)"),
+    }
+    if cfg.endo:
+        # same-counting alternative vs the x2-counted address row
+        result["vs_baseline_x2_counting"] = round(
+            (points * 2) / BASELINE_ADDRESS_KEYS_PER_S, 3)
+    if emit:
+        print(json.dumps(result), flush=True)
+    return result
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="all",
+                    choices=["all", "compressed", "xpoint", "uncompressed",
+                             "eth", "bsgs"])
+    ap.add_argument("--m", type=int, default=1 << 26,
+                    help="bsgs: baby-table size")
+    ap.add_argument("--lanes", type=int, default=32768,
+                    help="bsgs: giant lanes")
+    ap.add_argument("--steps", type=int, default=16, help="bsgs inner steps")
+    ap.add_argument("--pivots", type=int, default=64)
+    ap.add_argument("--width", type=int, default=4096)
+    ap.add_argument("--steps-walker", type=int, default=16)
+    ap.add_argument("--endo", action=argparse.BooleanOptionalAction, default=True,
+                    help="x6 endomorphism counting (reference -e rules); --no-endo disables")
+    ap.add_argument("--hash-impl", default="auto",
+                    choices=["auto", "jnp", "pallas"],
+                    help="force the hash160 backend inside the walker")
+    ap.add_argument("--seconds", type=float, default=15.0)
+    ap.add_argument("--tmpdir", default=".")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.mode == "bsgs":
+        bench_bsgs(args)
+        return 0
+    if args.mode != "all":
+        bench_walker(args)
+        return 0
+
+    # default: BSGS headline + walker secondary, ONE JSON line
+    walker = bench_walker(args, emit=False)
+    bsgs = bench_bsgs(args, emit=False)
+    headline = dict(bsgs)
+    headline["secondary"] = walker
+    print(json.dumps(headline), flush=True)
     return 0
 
 

@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="accepted for CLI parity; device parallelism is per-chip batch + mesh")
     p.add_argument("-k", "--kfactor", type=int, default=1, help="BSGS k factor (keyhunt -k)")
-    p.add_argument("-n", "--nvalue", default=None, help="BSGS N per cycle, hex/dec (keyhunt -n)")
+    p.add_argument("-n", "--nvalue", default=None,
+                   help="BSGS: N per cycle; other modes: keys per random "
+                        "base with -R (keyhunt -n)")
     p.add_argument("-B", "--bsgs-mode", default="sequential",
                    choices=["sequential", "backward", "both", "random",
                             "dance", "ggsb", "angrygiant"],
@@ -95,13 +97,51 @@ def parse_int(s: str) -> int:
         return int(s, 10)
 
 
-def resolve_range(args) -> tuple[int, int]:
+def resolve_range(args, allow_default: bool = True) -> tuple[int, int]:
+    """Reference range semantics (keyhunt.cpp:1024-1056,1248-1256):
+    `-r START:END`; `-r START` (or `START:`) is open-ended to the group
+    order; no -r/-b at all defaults to the full keyspace [1, n)."""
+    from .ref import ecc
     if args.bits:
         return 1 << (args.bits - 1), (1 << args.bits) - 1
     if args.range:
-        a, b = args.range.split(":")
-        return parse_int(a), parse_int(b)
+        if ":" in args.range:
+            a, b = args.range.split(":")
+        else:
+            a, b = args.range, ""
+        start = parse_int(a) if a.strip() else 1
+        end = parse_int(b) if b.strip() else ecc.N - 1
+        if start > end:
+            print("[W] start range can't be greater than end range; swapping",
+                  flush=True)
+            start, end = end, start
+        return max(start, 1), end
+    if allow_default:
+        return 1, ecc.N - 1
     raise SystemExit("[E] need -r START:END or -b BITS")
+
+
+def resolve_devices(args) -> int:
+    """--devices N shards the search across a mesh of N devices; default is
+    every attached device (one block of walker pivots / BSGS lanes each —
+    the mesh analog of the reference's -t thread count)."""
+    import jax
+    n = args.devices if args.devices else len(jax.devices())
+    return max(1, n)
+
+
+def resolve_nseq(args) -> int:
+    """-n for non-BSGS modes: keys scanned sequentially from each random
+    base (N_SEQUENTIAL_MAX; >=1024 and a multiple of 1024 or back to the
+    0x100000000 default, keyhunt.cpp:1270-1291)."""
+    if not args.nvalue:
+        return 0x100000000
+    n = parse_int(args.nvalue)
+    if n < 1024 or n % 1024:
+        print("[I] n value needs to be >=1024 and a multiple of 1024, "
+              "back to defaults", flush=True)
+        return 0x100000000
+    return n
 
 
 def main(argv=None) -> int:
@@ -150,8 +190,9 @@ def main(argv=None) -> int:
     else:
         wmode = "eth"
 
+    devices = resolve_devices(args)
     print(f"[+] keyhunt-tpu: mode {args.mode}, {ts.count} targets, "
-          f"range {start:#x}:{end:#x}", flush=True)
+          f"range {start:#x}:{end:#x}, devices {devices}", flush=True)
     try:
         cfg = WalkerConfig(pivots=args.pivots, width=args.width,
                            steps=args.steps, stride=stride, mode=wmode,
@@ -159,7 +200,8 @@ def main(argv=None) -> int:
     except ValueError as exc:
         raise SystemExit(f"[E] {exc}")
     eng = Engine(cfg, ts, start, end, random_mode=args.random,
-                 quiet=args.quiet, stats_every=args.stats, matrix=args.matrix)
+                 quiet=args.quiet, stats_every=args.stats, matrix=args.matrix,
+                 devices=devices, n_seq=resolve_nseq(args))
     eng.run(max_seconds=args.max_seconds)
     print(f"[+] done: {len(eng.found_keys)} key(s) found", flush=True)
     return 0

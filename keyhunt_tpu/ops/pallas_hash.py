@@ -88,11 +88,34 @@ def _h160_uncompressed_call(total: int, tile: int, interpret: bool):
 
 
 def supported(shape) -> bool:
-    """Kernel path supported for this (8, *batch) operand shape?"""
+    """Kernel path supported for this (8, *batch) operand shape?
+
+    The real constraint is lane alignment: the batch must flatten to a
+    multiple of 128 (the VPU lane width) — `_pick_tile` then always finds
+    a tile that divides it, so any such batch is grid-coverable with no
+    tail block."""
     total = 1
     for d in shape[1:]:
         total *= d
-    return total % TILE == 0
+    return total >= 128 and total % 128 == 0
+
+
+def _pick_tile(total: int, tile: int | None) -> int:
+    """Largest tile <= TILE that is a multiple of 128 AND divides `total`
+    (grid blocks must cover the batch exactly — a partial tail block would
+    silently never be written)."""
+    if total % 128 != 0 or total < 128:
+        raise ValueError(f"pallas hash160 needs a 128-multiple batch, got {total}")
+    if tile is not None:
+        if total % tile != 0 or tile % 128 != 0:
+            raise ValueError(f"tile {tile} must divide total {total} and be a "
+                             f"multiple of 128")
+        return tile
+    rows = total // 128
+    d = min(rows, TILE // 128)
+    while rows % d:
+        d -= 1
+    return d * 128
 
 
 def _flatten3(a):
@@ -105,7 +128,7 @@ def hash160_both(x_norm, tile: int | None = None, interpret: bool = False):
     hashes (same contract as ops.hash160.hash160_both_prefixes)."""
     shape = x_norm.shape
     total = int(np.prod(shape[1:]))
-    tile = tile or min(TILE, total)
+    tile = _pick_tile(total, tile)
     h02, h03 = _h160_both_call(total, tile, interpret)(_flatten3(x_norm))
     out_shape = (5,) + shape[1:]
     return h02.reshape(out_shape), h03.reshape(out_shape)
@@ -116,7 +139,7 @@ def hash160_uncompressed(x_norm, y_norm, tile: int | None = None,
     """hash160 of the 65-byte uncompressed pubkey — fused kernel."""
     shape = x_norm.shape
     total = int(np.prod(shape[1:]))
-    tile = tile or min(TILE, total)
+    tile = _pick_tile(total, tile)
     h = _h160_uncompressed_call(total, tile, interpret)(
         _flatten3(x_norm), _flatten3(y_norm))
     return h.reshape((5,) + shape[1:])

@@ -30,7 +30,7 @@ from functools import partial
 
 from ..ops import u256, field, match
 from ..ref import ecc
-from ..search.bsgs import BabyTable, BsgsConfig
+from ..search.bsgs import BabyTable, BsgsConfig, DEGEN_SLOTS
 from .mesh import AXIS
 
 U32 = jnp.uint32
@@ -91,16 +91,16 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
             lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
             jout = jnp.where(lanes >= 0, possel - 1, 0)
 
+            # degenerate lanes stay device-local: up to DEGEN_SLOTS local
+            # indices per step, offset into the global lane space (a psum
+            # combine would corrupt simultaneous flags on two devices)
             x_eq = u256.eq(px, cxb)
             y_eq = u256.eq(py, cyb)
             same = x_eq & y_eq
             inf_case = x_eq & (~y_eq)
-            my = jax.lax.axis_index(AXIS)
-            flag_local = jnp.argmax(x_eq.astype(jnp.int32)) + my * Ll
-            flag_any_l = x_eq.any()
-            flag_any = jax.lax.psum(flag_any_l.astype(jnp.int32), AXIS) > 0
-            flag_lane = jax.lax.psum(
-                jnp.where(flag_any_l, flag_local, 0), AXIS)
+            my = jax.lax.axis_index(AXIS).astype(jnp.int32)
+            fl, _ = match.topk_indices(x_eq, DEGEN_SLOTS)
+            flags = jnp.where(fl >= 0, fl + my * np.int32(Ll), -1)
             one_b = jnp.broadcast_to(field.const(1, 2), (8, Ll)).astype(U32)
             den = jnp.where(same[None], field.add(py, py), field.sub(cxb, px))
             den = jnp.where(inf_case[None], one_b, den)
@@ -111,7 +111,7 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
             x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
             y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
             return ((field.norm(x2), field.norm(y2)),
-                    (lanes, jout, count, flag_any, flag_lane))
+                    (lanes, jout, count, flags))
 
         (px2, py2), outs = jax.lax.scan(one, (px, py), None, length=S)
         return (px2, py2) + outs
@@ -119,8 +119,10 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None),
                        P(None, AXIS), P(None, AXIS)),
+             # flags ride P(AXIS): device d's (S, DEGEN_SLOTS) block sits at
+             # rows [d*S, (d+1)*S) of the concatenated output
              out_specs=(P(None, AXIS), P(None, AXIS),
-                        P(), P(), P(), P(), P()),
+                        P(), P(), P(), P(AXIS)),
              # Pallas calls inside the body don't declare varying-mesh-axes
              # metadata; vma checking (default-on since jax 0.9) rejects them.
              check_vma=False)

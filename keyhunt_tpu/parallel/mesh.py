@@ -48,10 +48,16 @@ def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh
 def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
     """Jitted SPMD step over the mesh: pivot arrays are sharded along the
     pivot axis (one block of A pivots per device); each device probes its
-    own key block; hit indices stay device-local in the stacked output and
+    own key stripe; hit indices stay device-local in the stacked output and
     the total count is psum'd so one scalar tells the host "anything
-    anywhere?"."""
-    raw = make_step_fn(cfg, jit=False)
+    anywhere?".
+
+    Key layout (interleaved stripes): inner step s on device d covers keys
+    k0 + ((s*D + d)*A*W + r + 1)*stride — every inner step advances ALL
+    pivots by the global batch D*A*W, so after S steps device d sits
+    exactly one global span (S*D*A*W) past its seed and chained calls stay
+    contiguous without reseeding."""
+    raw = make_step_fn(cfg, jit=False, advance_mult=mesh.devices.size)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, AXIS), P(None, AXIS), P(None), P(None)),
@@ -80,20 +86,23 @@ def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
 
 def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):
     """Host: (8, n*A) pivot arrays; device d's pivot a sits at key
-    k0 + d*keys_per_call*stride + a*W*stride (contiguous per-device blocks
-    of one device call each; the host re-seeds when blocks are exhausted)."""
-    span = cfg.keys_per_call * cfg.stride
+    k0 + (d*A*W + a*W)*stride (interleaved-stripe layout — see
+    make_sharded_step_fn)."""
+    block = cfg.batch * cfg.stride          # A*W*stride keys per stripe
     keys = []
     for d in range(n_devices):
         for a in range(cfg.pivots):
-            keys.append(k0 + d * span + a * cfg.width * cfg.stride)
+            keys.append(k0 + d * block + a * cfg.width * cfg.stride)
     x, y = curve.points_for_keys(keys)
     return x, y              # numpy: jit in_shardings place them on the mesh
 
 
 def decode_sharded_hit(cfg: WalkerConfig, k0: int, device: int, step_idx: int,
-                       flat_idx: int):
-    """Map a (device, step, flat) hit to (variant, key)."""
-    from ..search.walker import decode_hit
-    span = cfg.keys_per_call * cfg.stride
-    return decode_hit(cfg, k0 + device * span, step_idx, flat_idx)
+                       flat_idx: int, n_devices: int):
+    """Map a (device, step, flat) hit to (variant, key): the candidate
+    space is (V, A, W) per device per step, stripe (s*D + d)."""
+    aw = cfg.batch
+    v = flat_idx // aw
+    r = flat_idx % aw
+    key = k0 + ((step_idx * n_devices + device) * aw + r + 1) * cfg.stride
+    return cfg.variants[v], key

@@ -41,6 +41,10 @@ from ..stats import SpeedMeter, si
 
 U32 = jnp.uint32
 
+#: degenerate-lane report slots per step (lanes whose point x-equals the
+#: advance point — each IS a solved key, resolved analytically on host)
+DEGEN_SLOTS = 4
+
 
 # ---------------------------------------------------------------------------
 # Baby-step table
@@ -146,18 +150,47 @@ def build_baby_table(m: int, pivots: int = 16, width: int = 512,
 
 # -- persistence (the -S semantics; reference keyhunt_bsgs_* files with
 #    embedded sha256 checksums, keyhunt.cpp:2504-2652) ----------------------
+#
+# Two formats:
+# - .npz single file (small m): everything loaded to RAM.
+# - .d directory (large m — the reference's mmap/--ptable scale regime,
+#   keyhunt.cpp:1844-1956, bloom.cpp:491-765): t0/t1/perm as raw .npy
+#   files, loaded with np.load(mmap_mode='r') so host RSS stays bounded;
+#   the device upload streams from the mapping and the position→j perm is
+#   consulted through the mapping only on rare hits.
+
+#: tables at or above this m default to the directory/memmap format
+DIR_FORMAT_MIN_M = 1 << 26
+
 
 def table_path(m: int, directory: str = ".") -> str:
-    return os.path.join(directory, f"keyhunt_tpu_bsgs_{m:x}.npz")
+    ext = "d" if m >= DIR_FORMAT_MIN_M else "npz"
+    return os.path.join(directory, f"keyhunt_tpu_bsgs_{m:x}.{ext}")
+
+
+def _is_dir_format(path: str) -> bool:
+    return path.endswith(".d") or path.endswith("/") or os.path.isdir(path)
 
 
 def _norm_table_path(path: str) -> str:
+    if _is_dir_format(path):
+        return path
     # np.savez appends ".npz" to bare names; keep save/load agreeing.
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def _file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 24), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def save_table(tbl: BabyTable, directory: str = ".", path: str | None = None) -> str:
     path = _norm_table_path(path or table_path(tbl.m, directory))
+    if _is_dir_format(path):
+        return _save_table_dir(tbl, path)
     blob = tbl.t0.tobytes() + tbl.t1.tobytes() + tbl.perm.tobytes()
     checksum = hashlib.sha256(blob).hexdigest()
     np.savez(path, m=tbl.m, t0=tbl.t0, t1=tbl.t1, perm=tbl.perm,
@@ -165,9 +198,25 @@ def save_table(tbl: BabyTable, directory: str = ".", path: str | None = None) ->
     return path
 
 
+def _save_table_dir(tbl: BabyTable, dirpath: str) -> str:
+    import json
+    os.makedirs(dirpath, exist_ok=True)
+    sums = {}
+    for name in ("t0", "t1", "perm"):
+        fp = os.path.join(dirpath, name + ".npy")
+        np.save(fp, getattr(tbl, name))
+        sums[name] = _file_sha256(fp)
+    meta = {"m": tbl.m, "depth": tbl.depth, "sha256": sums}
+    with open(os.path.join(dirpath, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return dirpath
+
+
 def load_table(m: int, directory: str = ".", verify: bool = True,
-               path: str | None = None) -> BabyTable | None:
+               path: str | None = None, mmap: bool = True) -> BabyTable | None:
     path = _norm_table_path(path or table_path(m, directory))
+    if _is_dir_format(path):
+        return _load_table_dir(m, path, verify=verify, mmap=mmap)
     if not os.path.exists(path):
         return None
     data = np.load(path)
@@ -182,6 +231,27 @@ def load_table(m: int, directory: str = ".", verify: bool = True,
         if hashlib.sha256(blob).digest() != want:
             raise ValueError(f"checksum mismatch in {path}")
     return tbl
+
+
+def _load_table_dir(m: int, dirpath: str, verify: bool = True,
+                    mmap: bool = True) -> BabyTable | None:
+    import json
+    meta_path = os.path.join(dirpath, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if int(meta["m"]) != m:
+        raise ValueError(f"{dirpath} holds a table for m={int(meta['m']):#x}, "
+                         f"wanted m={m:#x}")
+    arrs = {}
+    for name in ("t0", "t1", "perm"):
+        fp = os.path.join(dirpath, name + ".npy")
+        if verify and _file_sha256(fp) != meta["sha256"][name]:
+            raise ValueError(f"checksum mismatch in {fp}")
+        arrs[name] = np.load(fp, mmap_mode="r" if mmap else None)
+    return BabyTable(m=m, t0=arrs["t0"], t1=arrs["t1"], perm=arrs["perm"],
+                     depth=int(meta.get("depth", default_depth(m))))
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +302,9 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
     tables of one size class (daemon requests, k-factor reuse); the
     position→j permutation stays on host (only consulted for rare hits).
 
-    Outputs per step: top-K (lane, sorted-position) hits, hit count, and a
-    degenerate-lane flag/index (lane whose point equals ±advance point —
-    resolved analytically by the host)."""
+    Outputs per step: top-K (lane, sorted-position) hits, hit count, and up
+    to DEGEN_SLOTS degenerate-lane indices (lanes whose point equals the
+    ±advance point — resolved analytically by the host, -1 padded)."""
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     L = n_targets * B
     adv = ecc.ec_mul(B * cfg.stride)
@@ -254,14 +324,15 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
         # yields infinity — substitute a unit denominator so the batched
         # inversion isn't poisoned and let the lane go garbage (its false
         # probes are rejected by host verify). Either way the x-equality
-        # itself IS the answer (Q = (c ± B*stride)*G), so flag lane+step
-        # for analytic host resolution.
+        # itself IS the answer (Q = (c ± B*stride)*G), so flag up to
+        # DEGEN_SLOTS lanes per step for analytic host resolution
+        # (adversarial target sets can straddle one advance stride with
+        # several targets — a single argmax slot would drop all but one).
         x_eq = u256.eq(px, cxb)
         y_eq = u256.eq(py, cyb)
         same = x_eq & y_eq                  # P == -C (we add -C): doubling
         inf_case = x_eq & (~y_eq)           # P == +C: P + (-C) = infinity
-        flag_lane = jnp.argmax(x_eq.astype(jnp.int32))
-        flag_any = x_eq.any()
+        flags, _ = match.topk_indices(x_eq, DEGEN_SLOTS)
         one_b = jnp.broadcast_to(field.const(1, 2), (8, L)).astype(U32)
         den = jnp.where(same[None], field.add(py, py), field.sub(cxb, px))
         den = jnp.where(inf_case[None], one_b, den)
@@ -271,8 +342,7 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
         lam = field.mul(num, inv)
         x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
         y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-        return (field.norm(x2), field.norm(y2)), (lanes, jsel, count,
-                                                  flag_any, flag_lane)
+        return (field.norm(x2), field.norm(y2)), (lanes, jsel, count, flags)
 
     def run(px, py, t0, t1):
         body = lambda c, x: one(c, x, t0, t1)   # noqa: E731
@@ -345,7 +415,8 @@ class BsgsEngine:
     def __init__(self, cfg: BsgsConfig, tbl: BabyTable, targets: list,
                  start: int, end: int, sink: ResultSink | None = None,
                  quiet: bool = False, rng_seed: int | None = None,
-                 stats_every: float = 5.0, matrix: bool = False):
+                 stats_every: float = 5.0, matrix: bool = False,
+                 devices: int | None = None):
         assert end > start >= 1
         self.cfg = cfg
         self.tbl = tbl
@@ -357,10 +428,20 @@ class BsgsEngine:
         self.matrix = matrix          # -M: scrolling lines (keyhunt.cpp:965)
         self.meter = SpeedMeter()
         self.found: dict[int, int] = {}       # target index -> private key
-        self.step_fn = make_giant_step_fn(cfg, len(self.targets), tbl.depth)
-        self._passes = self._build_passes()   # [(t0_dev, t1_dev, perm_host)]
-        self._t0, self._t1, self._perm = self._passes[0]
-        self._offsets_cache: tuple | None = None
+        # device parallelism: D > 1 shards the baby table across the mesh's
+        # aggregate HBM (value-range shards) and gives every device its own
+        # stripe of giant lanes — SURVEY.md §5's "k-factor becomes aggregate
+        # HBM across the slice" story.
+        self.n_devices = int(devices) if devices else 1
+        if self.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh(self.n_devices)
+        else:
+            self.mesh = None
+            self.step_fn = make_giant_step_fn(cfg, len(self.targets), tbl.depth)
+        self._passes = self._build_passes()   # [(t0, t1, perm) numpy]
+        self._set_pass(self._passes[0])
+        self._offsets_cache: list | None = None
         import random as _r
         self.rng = _r.Random(rng_seed)
 
@@ -372,10 +453,10 @@ class BsgsEngine:
         of the reference's GGSB block search, keyhunt.cpp:1477-1499)."""
         tbl = self.tbl
         if self.cfg.scheduler != "ggsb":
-            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1), tbl.perm)]
+            return [(tbl.t0, tbl.t1, tbl.perm)]
         count, size = self.cfg.ggsb_blocks()
         if count <= 1:
-            return [(jnp.asarray(tbl.t0), jnp.asarray(tbl.t1), tbl.perm)]
+            return [(tbl.t0, tbl.t1, tbl.perm)]
         pad_n = 1 << (max(size, 1) - 1).bit_length()
         passes = []
         for b in range(count):
@@ -388,17 +469,39 @@ class BsgsEngine:
                 t0 = np.concatenate([t0, np.full(fill, 0xFFFFFFFF, np.uint32)])
                 t1 = np.concatenate([t1, np.full(fill, 0xFFFFFFFF, np.uint32)])
                 perm = np.concatenate([perm, np.zeros(fill, np.uint32)])
-            passes.append((jnp.asarray(t0), jnp.asarray(t1), perm))
+            passes.append((t0, t1, perm))
         return passes
 
-    # lane-offset table: l * (2m) * G for l = 0..B-1, built once ----------
+    def _set_pass(self, tables):
+        """Activate one (t0, t1, perm) probe table. Single-device: the
+        table rides as runtime jit arguments. Multi-device: rebuild the
+        sharded stepper (table shards are baked per mesh placement)."""
+        t0, t1, perm = tables
+        if self.n_devices > 1:
+            from ..parallel.bsgs_sharded import make_sharded_giant_step
+            sub = BabyTable(m=self.tbl.m, t0=t0, t1=t1, perm=perm,
+                            depth=self.tbl.depth)
+            self.step_fn = make_sharded_giant_step(
+                self.cfg, sub, self.mesh, len(self.targets))
+            self._perm = self.step_fn.perm      # padded, shard-major
+            self._t0 = self._t1 = None
+        else:
+            self._t0, self._t1 = jnp.asarray(t0), jnp.asarray(t1)
+            self._perm = perm
+
+    def _dispatch(self, state):
+        if self.n_devices > 1:
+            return self.step_fn(*state)
+        return self.step_fn(*state, self._t0, self._t1)
+
+    # lane-offset table: l * (2m) * G for l = 0..lanes_total-1, built once
 
     def _lane_offsets(self):
-        if self._offsets_cache is None:
-            B, stride = self.cfg.lanes, self.cfg.stride
-            step = ecc.ec_mul(stride)
+        want = self.n_devices * self.cfg.lanes
+        if self._offsets_cache is None or len(self._offsets_cache) != want:
+            step = ecc.ec_mul(self.cfg.stride)
             pts, acc = [None], None
-            for _ in range(B - 1):
+            for _ in range(want - 1):
                 acc = ecc.ec_add(acc, step)
                 pts.append(acc)
             self._offsets_cache = pts          # pts[l] = l*stride*G (None=inf)
@@ -406,9 +509,22 @@ class BsgsEngine:
 
     def _seed(self, c0: int):
         """Host: P[t, l] = Q_t - (c0 + l*stride)*G for every target/lane.
-        Exact-landing lanes (Q on a stride center) are recorded as found."""
-        return seed_lanes(self.cfg, self.targets, c0, on_exact=self._record,
-                          lane_offsets=self._lane_offsets)
+        Exact-landing lanes (Q on a stride center) are recorded as found.
+        Multi-device: global lanes l = d*B + b, columns reordered
+        device-major so P(None, AXIS) hands device d its (T, B) block."""
+        import dataclasses
+        D = self.n_devices
+        wide = dataclasses.replace(self.cfg, lanes=D * self.cfg.lanes) \
+            if D > 1 else self.cfg
+        px, py = seed_lanes(wide, self.targets, c0, on_exact=self._record,
+                            lane_offsets=self._lane_offsets)
+        if D > 1:
+            T, B = len(self.targets), self.cfg.lanes
+            px = np.asarray(px).reshape(8, T, D, B) \
+                .transpose(0, 2, 1, 3).reshape(8, -1)
+            py = np.asarray(py).reshape(8, T, D, B) \
+                .transpose(0, 2, 1, 3).reshape(8, -1)
+        return px, py
 
     def _record(self, t: int, key: int):
         key %= ecc.N
@@ -426,7 +542,7 @@ class BsgsEngine:
 
     def _blocks(self):
         cfg = self.cfg
-        span = cfg.lanes * cfg.steps * cfg.stride     # keys per dispatch/target
+        span = self.span                    # keys per dispatch per target
         c_lo = self.start + self.cfg.m                # first stride center
         nblocks = max((self.end - self.start + span - 1) // span, 1)
         mode = cfg.scheduler
@@ -465,9 +581,15 @@ class BsgsEngine:
             for b in range(nblocks):
                 yield c_lo + b * span, 1
 
+    # global keys covered per dispatch per target (all devices)
+    @property
+    def span(self) -> int:
+        return self.n_devices * self.cfg.lanes * self.cfg.steps \
+            * self.cfg.stride
+
     def run(self, max_seconds: float | None = None, max_keys: int | None = None):
         for tables in self._passes:
-            self._t0, self._t1, self._perm = tables
+            self._set_pass(tables)
             self._run_pass(max_seconds=max_seconds, max_keys=max_keys)
             if len(self.found) == len(self.targets):
                 break
@@ -481,7 +603,7 @@ class BsgsEngine:
 
     def _run_pass(self, max_seconds=None, max_keys=None):
         cfg = self.cfg
-        span = cfg.lanes * cfg.steps * cfg.stride
+        span = self.span
         import time as _t
         last_stats = _t.time()
         contiguous = cfg.scheduler in ("sequential", "ggsb", "angrygiant")
@@ -494,14 +616,13 @@ class BsgsEngine:
                 state = self._seed(c0)
                 if len(self.found) == len(self.targets):
                     break
-            px, py, lanes, jsel, counts, flag_any, flag_lane = self.step_fn(
-                *state, self._t0, self._t1)
+            px, py, lanes, jsel, counts, flags = self._dispatch(state)
             state = (px, py)
             state_c0 = c0 + span
             self._decode(c0, np.asarray(lanes), np.asarray(jsel),
-                         np.asarray(counts), np.asarray(flag_any),
-                         np.asarray(flag_lane))
-            self.meter.add(cfg.keys_per_call(len(self.targets)))
+                         np.asarray(counts), np.asarray(flags))
+            self.meter.add(self.n_devices
+                           * cfg.keys_per_call(len(self.targets)))
             now = _t.time()
             if not self.quiet and now - last_stats >= self.stats_every:
                 if self.matrix:
@@ -515,29 +636,48 @@ class BsgsEngine:
             if max_keys is not None and self.meter.total_keys >= max_keys:
                 break
 
-    def _decode(self, c0: int, lanes, jsel, counts, flag_any, flag_lane):
+    def _global_lane(self, g: int) -> tuple[int, int]:
+        """Flat probe/flag index -> (target, key-lane). Multi-device flat
+        layout is device-major (d, t, b); the key lane (the center index in
+        c0 + lane*stride) is l = d*B + b."""
+        B, D = self.cfg.lanes, self.n_devices
+        if D == 1:
+            return divmod(g, B)
+        d, r = divmod(g, len(self.targets) * B)
+        t, b = divmod(r, B)
+        return t, d * B + b
+
+    def _decode(self, c0: int, lanes, jsel, counts, flags):
         cfg = self.cfg
-        B = cfg.lanes
+        DB = self.n_devices * cfg.lanes       # global lanes per target
         for s in range(cfg.steps):
             if int(counts[s]) > 0:
+                if int(counts[s]) >= cfg.max_hits:
+                    print(f"[W] BSGS hit buffer saturated at c0={c0:#x} "
+                          f"step {s}; increase max_hits", flush=True)
                 for k in range(cfg.max_hits):
-                    l = int(lanes[s][k])
-                    if l < 0:
+                    g = int(lanes[s][k])
+                    if g < 0:
                         continue
-                    t, lane = divmod(l, B)
-                    c = c0 + (lane + s * B) * cfg.stride
+                    t, lane = self._global_lane(g)
+                    c = c0 + (lane + s * DB) * cfg.stride
                     # jsel is the sorted-table position; map to baby index
                     # via the host-resident permutation of the active pass.
                     j = int(self._perm[int(jsel[s][k])]) + 1
                     self._record(t, c - j)
                     self._record(t, c + j)
-            if bool(flag_any[s]):
-                l = int(flag_lane[s])
-                t, lane = divmod(l, B)
-                c = c0 + (lane + s * B) * cfg.stride
-                # P == ±advance point: Q = (c ± B*stride)*G
-                self._record(t, c + B * cfg.stride)
-                self._record(t, c - B * cfg.stride)
+        # degenerate-lane flags: rows are (device-major ×) steps
+        for row in range(flags.shape[0]):
+            s = row % cfg.steps
+            for g in flags[row]:
+                g = int(g)
+                if g < 0:
+                    continue
+                t, lane = self._global_lane(g)
+                c = c0 + (lane + s * DB) * cfg.stride
+                # P == ±advance point: Q = (c ± DB*stride)*G
+                self._record(t, c + DB * cfg.stride)
+                self._record(t, c - DB * cfg.stride)
 
 
 # ---------------------------------------------------------------------------
@@ -557,7 +697,7 @@ def derive_m(n_value: int | None, k: int) -> int:
 
 
 def run_bsgs_cli(args) -> int:
-    from ..cli import resolve_range, parse_int
+    from ..cli import resolve_range, resolve_devices, parse_int
     from ..io import targets as tio
 
     if not args.file:
@@ -566,10 +706,11 @@ def run_bsgs_cli(args) -> int:
         raise SystemExit(f"[E] can't open file {args.file}")
     pts = tio.load_pubkeys_file(args.file)
     start, end = resolve_range(args)
+    devices = resolve_devices(args)
     n_value = parse_int(args.nvalue) if args.nvalue else None
     m = derive_m(n_value, args.kfactor)
-    print(f"[+] BSGS: {len(pts)} pubkeys, m={m:#x}, range {start:#x}:{end:#x}",
-          flush=True)
+    print(f"[+] BSGS: {len(pts)} pubkeys, m={m:#x}, range {start:#x}:{end:#x}, "
+          f"devices {devices}", flush=True)
     tdir = getattr(args, "tmpdir", ".")
     # --ptable PATH: explicit table file, overriding the m-keyed name in
     # --tmpdir (the role of the reference's --ptable file, keyhunt.cpp:1844).
@@ -592,7 +733,8 @@ def run_bsgs_cli(args) -> int:
                      block_count=getattr(args, "bsgs_block_count", 0),
                      block_size=getattr(args, "bsgs_block_size", 0))
     eng = BsgsEngine(cfg, tbl, pts, start, end, quiet=args.quiet,
-                     stats_every=args.stats, matrix=args.matrix)
+                     stats_every=args.stats, matrix=args.matrix,
+                     devices=devices)
     found = eng.run(max_seconds=args.max_seconds)
     print(f"[+] BSGS done: {len(found)}/{len(pts)} keys found", flush=True)
     return 0

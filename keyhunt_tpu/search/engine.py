@@ -31,7 +31,8 @@ class Engine:
                  start: int, end: int, sink: ResultSink | None = None,
                  random_mode: bool = False, rng_seed: int | None = None,
                  quiet: bool = False, stats_every: float = 5.0,
-                 stop_after: int | None = None, matrix: bool = False):
+                 stop_after: int | None = None, matrix: bool = False,
+                 devices: int | None = None, n_seq: int = 0):
         assert start >= 1 and end > start
         self.cfg = cfg
         self.targets = targets
@@ -43,14 +44,28 @@ class Engine:
         self.quiet = quiet
         self.stats_every = stats_every
         self.matrix = matrix          # -M: scrolling lines (keyhunt.cpp:965)
+        # -n with -R: keys walked sequentially from each random base before
+        # re-rolling (N_SEQUENTIAL_MAX, keyhunt.cpp:464,1270-1291)
+        self.n_seq = int(n_seq) if n_seq else 0
         self.meter = SpeedMeter()
         # stop when this many distinct keys found (None = exhaust range)
         self.stop_after = stop_after if stop_after is not None else targets.count
         if targets.t0 is None:            # vanity: range compare, no table
             from ..ops import match as _match
             targets.t0, targets.t1 = _match.build_table([])
-        self.step_fn = make_step_fn(cfg)
+        # device parallelism: D > 1 shards the range across a mesh — the TPU
+        # analog of the reference's N-threads-pull-chunks launch
+        # (`keyhunt.cpp:2697-2838`); D == 1 keeps the single-chip path.
+        self.n_devices = int(devices) if devices else 1
         import jax.numpy as _jnp
+        if self.n_devices > 1:
+            from ..parallel import mesh as _pmesh
+            self.mesh = _pmesh.make_mesh(self.n_devices)
+            self.step_fn = _pmesh.make_sharded_step_fn(
+                cfg, targets.t0, targets.t1, self.mesh)
+        else:
+            self.mesh = None
+            self.step_fn = make_step_fn(cfg)
         self._t0 = _jnp.asarray(targets.t0)
         self._t1 = _jnp.asarray(targets.t1)
         self.found_keys: set[int] = set()
@@ -71,8 +86,37 @@ class Engine:
         # symmetric hazard at the top of the keyspace: pivot == -offset
         # (key ~ N - j*stride). Cap the walker below it; the sliver above is
         # covered on host like the low region.
-        self.high_bound = ecc.N - (cfg.pivots + 2) * cfg.width * cfg.stride
+        self.high_bound = ecc.N - (self.n_devices * cfg.pivots + 2) \
+            * cfg.width * cfg.stride
         self.end_capped = min(end, self.high_bound)
+
+    # span of one device dispatch in keys (all devices together)
+    @property
+    def span(self) -> int:
+        return self.n_devices * self.cfg.keys_per_call * self.cfg.stride
+
+    def _seed(self, k0: int):
+        if self.n_devices > 1:
+            from ..parallel.mesh import seed_pivots_sharded
+            return seed_pivots_sharded(self.cfg, k0, self.n_devices)
+        return seed_pivots(self.cfg, k0)
+
+    def _dispatch(self, px, py):
+        """Run one device call; returns (px', py', hits, counts) with hits
+        shaped (D*S, K) rows ordered device-major."""
+        if self.n_devices > 1:
+            px, py, hits, counts, _total = self.step_fn(px, py)
+            return px, py, hits, counts
+        px, py, hits, counts = self.step_fn(px, py, self._t0, self._t1)
+        return px, py, hits, counts
+
+    def _decode(self, k0: int, row: int, flat_idx: int):
+        if self.n_devices > 1:
+            from ..parallel.mesh import decode_sharded_hit
+            d, s = divmod(row, self.cfg.steps)
+            return decode_sharded_hit(self.cfg, k0, d, s, flat_idx,
+                                      self.n_devices)
+        return decode_hit(self.cfg, k0, row, flat_idx)
 
     # -- host coverage of tiny keys (below the walker's pivot floor) -------
 
@@ -140,14 +184,25 @@ class Engine:
     # -- main loop ---------------------------------------------------------
 
     def _chunks(self):
-        """Yield walker base keys k0 (device call covers
-        [k0+stride, k0+keys_per_call*stride])."""
-        span = self.cfg.keys_per_call * self.cfg.stride
+        """Yield walker base keys k0 (one dispatch covers
+        [k0+stride, k0+span] across all devices)."""
+        span = self.span
         lo = self.walker_base
         if self.random_mode:
-            nblocks = max((self.end_capped - lo) // span, 1)
+            # ceil: the tail block past the last full span must stay
+            # reachable (hits beyond `end` are filtered at decode)
+            nblocks = max(-(-(self.end_capped - lo) // span), 1)
+            # -n for random mode: scan n_seq keys sequentially from each
+            # random base before re-rolling (N_SEQUENTIAL_MAX,
+            # keyhunt.cpp:464,1270-1291 — default 0x100000000)
+            calls_per_base = max(1, -(-self.n_seq // span)) \
+                if self.n_seq else 1
             while True:
-                yield lo + self.rng.randrange(nblocks) * span
+                base = lo + self.rng.randrange(nblocks) * span
+                for c in range(calls_per_base):
+                    if c and base + c * span >= self.end_capped:
+                        break       # sequential run-off past the range top
+                    yield base + c * span
         else:
             k0 = lo
             while k0 < self.end_capped:
@@ -162,22 +217,24 @@ class Engine:
         px = py = None
         last_k0 = None
         last_stats = time.time()
-        span = cfg.keys_per_call * cfg.stride
+        span = self.span
         for k0 in self._chunks():
             if px is None or last_k0 is None or k0 != last_k0:
-                px, py = seed_pivots(cfg, k0)
-            px, py, hits, counts = self.step_fn(px, py, self._t0, self._t1)
+                px, py = self._seed(k0)
+            px, py, hits, counts = self._dispatch(px, py)
             last_k0 = k0 + span
             hits = np.asarray(hits)
             counts = np.asarray(counts)
             if counts.sum() > 0:
-                for s in range(cfg.steps):
-                    for f in hits[s]:
+                for row in range(hits.shape[0]):
+                    for f in hits[row]:
                         f = int(f)
                         if f < 0:
                             continue
-                        variant, key = decode_hit(cfg, k0, s, f)
-                        if key <= self.end:
+                        variant, key = self._decode(k0, row, f)
+                        # two-sided range contract (the reference rejects
+                        # hits outside [start, end] in both directions)
+                        if self.start <= key <= self.end:
                             e = VARIANT_ENDO_POWER[variant]
                             if e:
                                 # hit on beta^e * X: the matching target's
@@ -188,7 +245,8 @@ class Engine:
                     # top-k saturated: extremely dense target region; note it
                     print(f"[W] hit buffer saturated at k0={k0:#x}; "
                           f"increase max_hits", flush=True)
-            self.meter.add(cfg.keys_per_call * cfg.keys_per_point)
+            self.meter.add(self.n_devices * cfg.keys_per_call
+                           * cfg.keys_per_point)
             now = time.time()
             if not self.quiet and now - last_stats >= self.stats_every:
                 if self.matrix:

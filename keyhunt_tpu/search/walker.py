@@ -104,7 +104,7 @@ def _needs_y(mode: str) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def make_step_fn(cfg: WalkerConfig, jit: bool = True):
+def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1):
     """Build the device step: (px, py, t0, t1) -> (px', py', hits, counts).
 
     hits: (S, K) int32 flat indices into the (V, A, W) candidate space of
@@ -113,10 +113,16 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True):
     arguments, so the (expensive) compile is shared across target sets of
     the same padded size. jit=False returns the raw traceable fn (for
     shard_map composition).
+
+    advance_mult: pivot advance per inner step in units of A*W*stride.
+    The D-device sharded walker passes D so the devices walk interleaved
+    stripes — device d's pivots land exactly one global span ahead after
+    S steps, keeping chained calls contiguous without reseeding (same
+    convention as the sharded BSGS lanes, parallel/bsgs_sharded.py).
     """
     A, W, S = cfg.pivots, cfg.width, cfg.steps
     gtx, gty = curve.offset_table_strided(W, cfg.stride)
-    spx, spy = curve.point_const(A * W * cfg.stride)
+    spx, spy = curve.point_const(advance_mult * A * W * cfg.stride)
     gtx, gty = jnp.asarray(gtx), jnp.asarray(gty)
     spx, spy = jnp.asarray(spx), jnp.asarray(spy)
     want_y = _needs_y(cfg.mode)

@@ -28,12 +28,14 @@ from .io.results import ResultSink
 class BsgsdServer:
     def __init__(self, tbl: BabyTable, host: str = "127.0.0.1", port: int = 8080,
                  lanes: int = 1024, steps: int = 8, quiet: bool = True,
-                 result_path: str = "KEYFOUNDKEYFOUND.txt"):
+                 result_path: str = "KEYFOUNDKEYFOUND.txt",
+                 devices: int | None = None):
         self.tbl = tbl
         self.host, self.port = host, port
         self.lanes, self.steps = lanes, steps
         self.quiet = quiet
         self.result_path = result_path
+        self.devices = devices          # mesh width for per-request engines
         self._search_lock = threading.Lock()   # one search at a time
         self._sock: socket.socket | None = None
         self._stop = threading.Event()
@@ -47,7 +49,7 @@ class BsgsdServer:
             cfg = BsgsConfig(m=self.tbl.m, lanes=self.lanes, steps=self.steps)
             sink = ResultSink(path=self.result_path, quiet=True)
             eng = BsgsEngine(cfg, self.tbl, [point], k_from, k_to,
-                             sink=sink, quiet=True)
+                             sink=sink, quiet=True, devices=self.devices)
             found = eng.run()
         return found.get(0)
 
@@ -188,6 +190,8 @@ def main(argv=None) -> int:
     ap.add_argument("-S", "--save", action="store_true")
     ap.add_argument("--lanes", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard table+lanes across this many devices")
     args = ap.parse_args(argv)
     runtime.setup()
     n_value = int(args.nvalue, 16) if args.nvalue else None
@@ -200,7 +204,7 @@ def main(argv=None) -> int:
         if args.save:
             save_table(tbl)
     srv = BsgsdServer(tbl, args.ip, args.port, lanes=args.lanes,
-                      steps=args.steps, quiet=False)
+                      steps=args.steps, quiet=False, devices=args.devices)
     srv.serve_forever()
     return 0
 

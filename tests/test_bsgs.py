@@ -121,3 +121,42 @@ def test_derive_m():
     assert derive_m(1 << 20, 1) == 1 << 10
     with pytest.raises(SystemExit):
         derive_m((1 << 44) + 2, 1)
+
+
+def test_table_save_load_dir_format():
+    """Directory/memmap format (large-m regime): raw .npy arrays loaded
+    with mmap_mode='r', per-file sha256 in meta.json."""
+    tbl = small_table()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = save_table(tbl, path=os.path.join(tmp, "big_table.d"))
+        assert os.path.isdir(path)
+        tbl2 = load_table(tbl.m, path=path)
+        assert tbl2 is not None
+        assert isinstance(tbl2.t0, np.memmap)
+        assert (np.asarray(tbl2.t0) == tbl.t0).all()
+        assert (np.asarray(tbl2.perm) == tbl.perm).all()
+        assert tbl2.depth == tbl.depth
+        # wrong m rejected
+        with pytest.raises(ValueError):
+            load_table(tbl.m * 2, path=path)
+        # corruption detected
+        t0p = os.path.join(path, "t0.npy")
+        arr = np.load(t0p)
+        np.save(t0p, arr ^ 1)
+        with pytest.raises(ValueError):
+            load_table(tbl.m, path=path)
+        # -6 semantics: skip checksum loads anyway
+        assert load_table(tbl.m, path=path, verify=False) is not None
+
+
+def test_bsgs_engine_with_memmap_table():
+    """The engine must search correctly off a memmap-backed table."""
+    tbl = small_table()
+    with tempfile.TemporaryDirectory() as tmp:
+        path = save_table(tbl, path=os.path.join(tmp, "t.d"))
+        tbl2 = load_table(tbl.m, path=path)
+        keys = [5000, 777]
+        targets = [ecc.pubkey(k) for k in keys]
+        eng = _engine(tbl2, targets, 1, 16384)
+        found = eng.run()
+        assert sorted(found.values()) == sorted(keys)

@@ -53,7 +53,7 @@ def test_sharded_bsgs_finds_keys():
     c0 = 1 + M
     px, py = seed_lanes_sharded(cfg, targets, c0, D, record_cb=record)
     while c0 < 16384 and len(found) < len(targets):
-        px, py, lanes, jsel, counts, flag_any, flag_lane = step(px, py)
+        px, py, lanes, jsel, counts, flags = step(px, py)
         lanes = np.asarray(lanes)
         jsel = np.asarray(jsel)
         for s in range(cfg.steps):

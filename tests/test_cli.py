@@ -1,0 +1,69 @@
+"""CLI surface semantics vs the reference (keyhunt.cpp:1024-1056,
+1221-1291): open-ended ranges, full-keyspace default, -n validation."""
+
+import argparse
+
+import pytest
+
+from keyhunt_tpu.cli import build_parser, resolve_range, resolve_nseq, parse_int
+from keyhunt_tpu.ref import ecc
+
+
+def _args(**kw):
+    ns = argparse.Namespace(bits=None, range=None, nvalue=None)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_range_start_end():
+    assert resolve_range(_args(range="100:200")) == (0x100, 0x200)
+
+
+def test_range_open_ended():
+    # -r START and -r START: both mean [START, order) (keyhunt.cpp:1028-1033)
+    assert resolve_range(_args(range="8000")) == (0x8000, ecc.N - 1)
+    assert resolve_range(_args(range="8000:")) == (0x8000, ecc.N - 1)
+
+
+def test_range_default_full_keyspace():
+    # no -r/-b: [1, order) (keyhunt.cpp:1248-1256)
+    assert resolve_range(_args()) == (1, ecc.N - 1)
+
+
+def test_range_swapped():
+    assert resolve_range(_args(range="200:100")) == (0x100, 0x200)
+
+
+def test_range_bits():
+    assert resolve_range(_args(bits=16)) == (1 << 15, (1 << 16) - 1)
+
+
+def test_nseq_validation():
+    # >=1024 and multiple of 1024, else back to 0x100000000
+    # (keyhunt.cpp:1281-1291)
+    assert resolve_nseq(_args(nvalue=None)) == 0x100000000
+    assert resolve_nseq(_args(nvalue="0x10000")) == 0x10000
+    assert resolve_nseq(_args(nvalue="100")) == 0x100000000
+    assert resolve_nseq(_args(nvalue="1025")) == 0x100000000
+
+
+def test_parse_int_hex_default():
+    # bare values parse as hex like the reference range parser
+    assert parse_int("10") == 16
+    assert parse_int("0x10") == 16
+
+
+def test_parser_accepts_reference_flags():
+    p = build_parser()
+    args = p.parse_args(["-m", "bsgs", "-f", "x.txt", "-b", "63", "-k", "512",
+                         "-t", "8", "-S", "-6", "-q", "-s", "10", "-M",
+                         "-B", "random", "-n", "0x100000000000"])
+    assert args.mode == "bsgs" and args.kfactor == 512
+    assert args.skip_checksum and args.bsgs_mode == "random"
+
+
+def test_vanity_endo_allowed():
+    p = build_parser()
+    args = p.parse_args(["-m", "vanity", "-v", "1Key", "-e", "-b", "256"])
+    assert args.endomorphism

@@ -89,3 +89,71 @@ def test_keccak_full_digest():
         want = keccak256(px.to_bytes(32, "big") + py.to_bytes(32, "big"))
         got = b"".join(int(v).to_bytes(4, "little") for v in out[:, i])
         assert got == want
+
+
+# -- fused Pallas kernel parity (ops.pallas_hash) ---------------------------
+# Interpret mode is impractically slow for the full sha+ripemd pipeline
+# (>5 min for 256 lanes even on CPU), so parity runs the REAL kernel on the
+# attached accelerator against the jnp expansion; skipped on CPU-only hosts.
+
+import pytest
+
+
+def _rand_x(batch):
+    rng = np.random.default_rng(11)
+    vals = [int.from_bytes(rng.bytes(32), "big") % ecc.P for _ in range(batch)]
+    return jnp.asarray(u256.from_ints(vals))
+
+
+accel = pytest.mark.skipif(jax.default_backend() == "cpu",
+                           reason="needs an accelerator (kernel parity)")
+
+
+@accel
+@pytest.mark.slow
+def test_pallas_hash160_both_parity():
+    from keyhunt_tpu.ops import pallas_hash
+    x = _rand_x(256)
+    a02, a03 = jax.jit(h160._both_jnp)(x)
+    b02, b03 = jax.jit(pallas_hash.hash160_both)(x)
+    assert np.array_equal(np.asarray(a02), np.asarray(b02))
+    assert np.array_equal(np.asarray(a03), np.asarray(b03))
+
+
+@accel
+@pytest.mark.slow
+def test_pallas_hash160_tail_tile():
+    """Batches not divisible by the default tile must still cover every
+    lane (ADVICE r1: 384 with tile 256 silently dropped the tail)."""
+    from keyhunt_tpu.ops import pallas_hash
+    x = _rand_x(384)
+    a02, _ = jax.jit(h160._both_jnp)(x)
+    b02, _ = jax.jit(pallas_hash.hash160_both)(x)
+    assert np.array_equal(np.asarray(a02), np.asarray(b02))
+
+
+@accel
+@pytest.mark.slow
+def test_pallas_hash160_uncompressed_parity():
+    from keyhunt_tpu.ops import pallas_hash
+    x, y = _points(KEYS)
+    pad = 128 - x.shape[1]
+    xp = jnp.concatenate([x, jnp.broadcast_to(x[:, :1], (8, pad))], axis=1)
+    yp = jnp.concatenate([y, jnp.broadcast_to(y[:, :1], (8, pad))], axis=1)
+    a = jax.jit(h160._uncompressed_jnp)(xp, yp)
+    b = jax.jit(pallas_hash.hash160_uncompressed)(xp, yp)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_tile_selection():
+    from keyhunt_tpu.ops import pallas_hash
+    assert pallas_hash._pick_tile(384, None) == 384
+    assert pallas_hash._pick_tile(8192, None) == 8192
+    assert pallas_hash._pick_tile(8192 + 128, None) == 128
+    assert pallas_hash._pick_tile(1 << 18, None) == 8192
+    with pytest.raises(ValueError):
+        pallas_hash._pick_tile(200, None)
+    with pytest.raises(ValueError):
+        pallas_hash._pick_tile(512, 384)
+    assert not pallas_hash.supported((8, 200))
+    assert pallas_hash.supported((8, 2, 128))

@@ -46,7 +46,7 @@ def test_sharded_walker_8_devices():
         for f in hits[r]:
             if int(f) < 0:
                 continue
-            _, key = decode_sharded_hit(cfg, k0, d, s, int(f))
+            _, key = decode_sharded_hit(cfg, k0, d, s, int(f), n)
             for cand in (key, ecc.N - key):
                 if ecc.pubkey(cand)[0] in want_x:
                     found.add(min(cand, ecc.N - cand))
@@ -63,9 +63,11 @@ def test_sharded_pivot_state_advances():
     assert int(np.asarray(total)[0]) == 0
     from keyhunt_tpu.ops import u256
     got = u256.to_ints(np.asarray(px2))
-    span = cfg.keys_per_call * cfg.stride
+    # interleaved stripes: every inner step advances ALL pivots by the
+    # global batch n*A*W, so device d ends one global span past its seed
     exp = []
     for d in range(n):
         for a in range(cfg.pivots):
-            exp.append(ecc.pubkey(100 + d * span + a * cfg.width + cfg.steps * cfg.batch)[0])
+            exp.append(ecc.pubkey(100 + d * cfg.batch + a * cfg.width
+                                  + cfg.steps * n * cfg.batch)[0])
     assert got == exp

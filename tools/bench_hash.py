@@ -42,7 +42,9 @@ def main():
         return 1
 
     for name, fn in (("jnp", jnp_fn), ("pallas", pal_fn)):
-        # chain x through a dummy dependency to avoid caching tricks
+        # bounded 2-deep pipeline: hides dispatch latency without flooding
+        # the device queue (JAX never memoizes executions, so re-calling on
+        # the same input still measures real device work)
         iters = 20
         t0 = time.time()
         outs = []

@@ -1,0 +1,121 @@
+"""Multi-host dry run: N processes x M virtual CPU devices, one global
+mesh, the sharded xpoint walker stepping over it — validates that the
+product sharding (parallel.mesh.make_sharded_step_fn) compiles and runs
+under a multi-process `jax.distributed` runtime, i.e. the DCN story of
+SURVEY.md §5 (the reference's counterpart is the TCP daemon + Python
+fan-out client, `bsgsd.cpp:2156-2243` + `bsgsd_client.py:284-404`).
+
+Launch (single machine, two processes):
+
+    python tools/multihost_dryrun.py --procs 2        # spawns children
+
+Each child initializes jax.distributed, builds the global mesh over all
+processes' devices, places its process-local pivot shard with
+`jax.make_array_from_callback`, runs one sharded step, and asserts the
+psum'd global hit count sees the keys planted in OTHER processes' range
+blocks (cross-process reduction actually happened).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+DEVS_PER_PROC = 4
+COORD = "127.0.0.1:0"
+
+
+def child(proc_id: int, nprocs: int, port: int) -> int:
+    # env (JAX_PLATFORMS=cpu + device-count flag) is set by the PARENT
+    # before exec — a sitecustomize on this image initializes JAX at
+    # interpreter startup, so in-process os.environ edits come too late.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nprocs, process_id=proc_id)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+    from keyhunt_tpu.ops import match
+    from keyhunt_tpu.parallel.mesh import AXIS, make_sharded_step_fn, \
+        seed_pivots_sharded
+    from keyhunt_tpu.ref import ecc
+    from keyhunt_tpu.search.walker import WalkerConfig
+
+    n_global = nprocs * DEVS_PER_PROC
+    # explicit platform query: the image's sitecustomize force-registers
+    # the axon plugin, which can shadow the default platform selection
+    devs = jax.devices("cpu")
+    assert len(devs) == n_global, (len(devs), n_global)
+    mesh = Mesh(np.array(devs), (AXIS,))
+
+    cfg = WalkerConfig(pivots=2, width=16, steps=1, mode="xpoint", max_hits=2)
+    k0 = 1 << 20
+    span = cfg.keys_per_call * cfg.stride
+    # plant one key in every DEVICE's block — each process only proves the
+    # global psum if it sees hits from blocks owned by other processes
+    plant = [k0 + d * span + 5 for d in range(n_global)]
+    pairs = []
+    for k in plant:
+        x = ecc.pubkey(k)[0]
+        pairs.append(((x >> 224) & 0xFFFFFFFF, (x >> 192) & 0xFFFFFFFF))
+    t0, t1 = match.build_table(pairs)
+
+    step = make_sharded_step_fn(cfg, t0, t1, mesh)
+    # host-side global seed (small shapes) -> commit per-device shards
+    px_np, py_np = seed_pivots_sharded(cfg, k0, n_global)
+    sh = NamedSharding(mesh, P(None, AXIS))
+
+    def mk(a):
+        return jax.make_array_from_callback(
+            a.shape, sh, lambda idx: np.ascontiguousarray(a[idx]))
+
+    px, py = mk(np.asarray(px_np)), mk(np.asarray(py_np))
+    px2, py2, hits, counts, total = step(px, py)
+    jax.block_until_ready((px2, py2, total))
+    got = int(np.asarray(total)[0])
+    assert got == n_global, f"proc {proc_id}: total {got} != {n_global}"
+    print(f"[proc {proc_id}] OK: {got} planted hits visible globally "
+          f"across {nprocs} processes x {DEVS_PER_PROC} devices", flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=12399)
+    args = ap.parse_args(argv)
+    if args.child is not None:
+        return child(args.child, args.procs, args.port)
+    procs = []
+    for i in range(args.procs):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count={DEVS_PER_PROC}").strip()
+        # keep the image's TPU-tunnel plugin (sitecustomize on PYTHONPATH)
+        # out of the children: N processes sharing the one physical chip
+        # would fight over it, and this dry run is CPU-only by design
+        for k in [k for k in env if k.startswith(("PALLAS_AXON", "AXON"))]:
+            env.pop(k)
+        if ".axon_site" in env.get("PYTHONPATH", ""):
+            parts = [p for p in env["PYTHONPATH"].split(os.pathsep)
+                     if ".axon_site" not in p]
+            env["PYTHONPATH"] = os.pathsep.join(parts)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--procs",
+             str(args.procs), "--child", str(i), "--port", str(args.port)],
+            env=env))
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    print("[+] multihost dryrun", "PASS" if rc == 0 else "FAIL", flush=True)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
