@@ -10,6 +10,10 @@ import jax.numpy as jnp
 from keyhunt_tpu.ref.xxh64 import xxh64, bloom_hash_pair, BLOOM_SEED
 from keyhunt_tpu.ops.xxh64 import xxh64_20, xxh64_32
 from keyhunt_tpu.ops.bloom import BloomFilter
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 random.seed(99)
 

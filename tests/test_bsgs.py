@@ -14,6 +14,9 @@ from keyhunt_tpu.search.bsgs import (
     BabyTable, BsgsConfig, BsgsEngine, build_baby_table, save_table,
     load_table, derive_m)
 
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 M = 256              # tiny baby table: stride 512 keys
 
 

@@ -12,6 +12,10 @@ from keyhunt_tpu.parallel.bsgs_sharded import (
 from keyhunt_tpu.ref import ecc
 from keyhunt_tpu.search.bsgs import BsgsConfig, build_baby_table
 from conftest import cpu_devices
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 M = 256
 D = 8

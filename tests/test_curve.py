@@ -11,6 +11,9 @@ from keyhunt_tpu.ops import u256, field, curve
 from keyhunt_tpu.ref import ecc
 from conftest import reference_fixture
 
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 def as_points(keys):
     x, y = curve.points_for_keys(keys)

@@ -17,6 +17,10 @@ from keyhunt_tpu.io.targets import load_xpoint_file
 from keyhunt_tpu.search.walker import WalkerConfig
 from keyhunt_tpu.search.engine import Engine
 from keyhunt_tpu.search.bsgs import BsgsConfig, BsgsEngine, build_baby_table
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 
 def _sink(tmp):

@@ -10,6 +10,10 @@ import jax.numpy as jnp
 
 from keyhunt_tpu.ops import u256, field
 from keyhunt_tpu.ops.field import P_INT
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 random.seed(1234)
 

@@ -12,6 +12,10 @@ from keyhunt_tpu.ops import u256, field, curve, hash160 as h160
 from keyhunt_tpu.ops.sha256 import sha256_compressed, sha256_uncompressed
 from keyhunt_tpu.ref import ecc
 from keyhunt_tpu.ref.hashes import hash160, eth_address, keccak256
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 random.seed(7)
 

@@ -19,6 +19,9 @@ from keyhunt_tpu.search.minikeys import (
     MinikeysConfig, MinikeysEngine, minikey_from_int, minikey_to_int,
     batch_minikeys)
 
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 
 def test_minikey_codec():
     for v in (0, 1, 57, 58, 58**5 - 1, 58**5, 12345678901234567890 % 58**21):

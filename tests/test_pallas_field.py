@@ -13,6 +13,9 @@ import pytest
 from keyhunt_tpu.ops import field, u256
 from keyhunt_tpu.ops import pallas_field as pf
 
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 P = field.P_INT
 B = 256
 

@@ -14,6 +14,9 @@ from keyhunt_tpu.ref.hashes import hash160, eth_address
 from keyhunt_tpu.search.walker import WalkerConfig
 from keyhunt_tpu.search.engine import Engine
 
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 CFG = dict(pivots=4, width=64, steps=2, max_hits=8)
 
 PLANT = [300, 301, 512, 999, 1400]   # keys inside [257, 1537] walker region

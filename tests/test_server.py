@@ -10,6 +10,9 @@ from keyhunt_tpu.search.bsgs import build_baby_table
 from keyhunt_tpu.server import BsgsdServer
 from keyhunt_tpu.client import BsgsdClient, chunk_range, scan_for_pubkey
 
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
+
 KEY = 7777
 
 

@@ -16,6 +16,10 @@ from keyhunt_tpu.parallel.mesh import (
 from keyhunt_tpu.ref import ecc
 from keyhunt_tpu.search.walker import WalkerConfig
 from conftest import cpu_devices
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 
 def _mesh(n):

@@ -9,6 +9,10 @@ from keyhunt_tpu.ref import ecc
 from keyhunt_tpu.tools.speedcheck import make_speed_targets, main
 from keyhunt_tpu.search.bsgs import BsgsConfig, BsgsEngine, build_baby_table
 from keyhunt_tpu.io.results import ResultSink
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 
 def test_make_speed_targets_positions():

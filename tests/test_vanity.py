@@ -9,6 +9,10 @@ from keyhunt_tpu.io.results import ResultSink
 from keyhunt_tpu.ref import ecc
 from keyhunt_tpu.ref.hashes import hash160
 from keyhunt_tpu.search.vanity import make_vanity_engine
+import pytest
+
+# device-graph compiles dominate on XLA:CPU — excluded from the fast tier
+pytestmark = pytest.mark.slow
 
 
 def test_vanity_ranges_contain_matching_address():
