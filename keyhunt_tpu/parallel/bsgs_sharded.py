@@ -54,11 +54,18 @@ def shard_table(tbl: BabyTable, n_devices: int):
 def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
                             n_targets: int = 1):
     """SPMD giant walk over the mesh. State: (px, py) with T*D*B global
-    lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). Outputs per
-    inner step: replicated top-K (global lane, global sorted position)
-    hits + counts + degenerate-lane flags (see search.bsgs for their
-    resolution). The returned `run` carries `.perm` — the padded host
-    permutation mapping global positions back to baby indices j."""
+    lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). The scan
+    advances lanes and stacks per-step X fragments; ONE all-gather ships
+    all S steps' queries (S*Lg * 8 bytes) and ONE probe of the local value
+    shard runs per call — the nested-while probe-per-step form costs
+    ~170x more (see search.bsgs.make_giant_step_fn), and batching the
+    all-gather also replaces S small collectives with one.
+
+    Outputs: replicated top-K flat hits into the (S, Lg) query space
+    (step-major, device-major within a step) + global sorted positions +
+    count, plus per-device degenerate-lane flags. The returned `run`
+    carries `.perm` — the padded host permutation mapping global sorted
+    positions back to baby indices j."""
     D = mesh.devices.size
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     Lg = n_targets * D * B                     # global lanes
@@ -77,19 +84,7 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
 
         def one(carry, _):
             px, py = carry
-            # gather every device's queries: (D, 2, Ll) -> (2, Lg)
-            q = jnp.stack([px[7], px[6]])
-            qall = jax.lax.all_gather(q, AXIS)            # (D, 2, Ll)
-            w0 = qall[:, 0].reshape(-1)
-            w1 = qall[:, 1].reshape(-1)
-            hit_l, pos_l = match.probe_pos(t0, t1, w0, w1, depth=tbl.depth)
-            # shard-local position -> global sorted position
-            gpos = pos_l + jax.lax.axis_index(AXIS).astype(U32) * np.uint32(per)
-            hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
-            # a fragment lives in exactly one value shard: psum is a select
-            pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
-            lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
-            jout = jnp.where(lanes >= 0, possel - 1, 0)
+            frag = jnp.stack([px[7], px[6]])              # (2, Ll)
 
             # degenerate lanes stay device-local: up to DEGEN_SLOTS local
             # indices per step, offset into the global lane space (a psum
@@ -110,11 +105,24 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
             lam = field.mul(num, inv)
             x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
             y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-            return ((field.norm(x2), field.norm(y2)),
-                    (lanes, jout, count, flags))
+            return ((field.norm(x2), field.norm(y2)), (frag, flags))
 
-        (px2, py2), outs = jax.lax.scan(one, (px, py), None, length=S)
-        return (px2, py2) + outs
+        (px2, py2), (frags, flags) = jax.lax.scan(
+            one, (px, py), None, length=S)
+        # frags: (S, 2, Ll) -> all-gather -> (D, S, 2, Ll); flatten the
+        # query space step-major/device-major: g = (s*D + d)*Ll + l
+        qall = jax.lax.all_gather(frags, AXIS)
+        w0 = qall[:, :, 0, :].transpose(1, 0, 2).reshape(-1)    # (S*Lg,)
+        w1 = qall[:, :, 1, :].transpose(1, 0, 2).reshape(-1)
+        hit_l, pos_l = match.probe_pos(t0, t1, w0, w1, depth=tbl.depth)
+        # shard-local position -> global sorted position
+        gpos = pos_l + jax.lax.axis_index(AXIS).astype(U32) * np.uint32(per)
+        hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
+        # a fragment lives in exactly one value shard: psum is a select
+        pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
+        lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
+        jout = jnp.where(lanes >= 0, possel - 1, 0)
+        return px2, py2, lanes, jout, count, flags
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(AXIS, None), P(AXIS, None),

@@ -296,15 +296,22 @@ class BsgsConfig:
 
 @functools.lru_cache(maxsize=None)
 def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
-    """Jitted giant walk: state (px, py) of T*B lanes; per inner step,
-    probe the table then advance every lane by -(B*2m)*G. The baby table
-    arrays (t0, t1) are runtime arguments so the compile is shared across
-    tables of one size class (daemon requests, k-factor reuse); the
-    position→j permutation stays on host (only consulted for rare hits).
+    """Jitted giant walk: state (px, py) of T*B lanes; the scan advances
+    every lane by -(B*2m)*G per inner step and STACKS each step's X
+    fragments; ONE batched probe over all S*L queries runs after the scan.
 
-    Outputs per step: top-K (lane, sorted-position) hits, hit count, and up
-    to DEGEN_SLOTS degenerate-lane indices (lanes whose point equals the
-    ±advance point — resolved analytically by the host, -1 padded)."""
+    Why hoisted: `searchsorted`'s binary-search while-loop nested inside
+    the scan's while-loop costs ~0.65 ms per inner iteration on this
+    runtime (~17 ms/step, measured) — the same probe as a single flat
+    S*L-query call outside the scan is ~0.1 ms. The baby table arrays
+    (t0, t1) are runtime arguments so the compile is shared across tables
+    of one size class (daemon requests, k-factor reuse); the position→j
+    permutation stays on host (only consulted for rare hits).
+
+    Outputs: top-K flat hit indices into the (S, L) query space + their
+    sorted-table positions + total count, and per step up to DEGEN_SLOTS
+    degenerate-lane indices (lanes whose point equals the ±advance point
+    — each IS a solved key, resolved analytically by the host, -1 pad)."""
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     L = n_targets * B
     adv = ecc.ec_mul(B * cfg.stride)
@@ -314,10 +321,9 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
     cxb = jnp.broadcast_to(cx, (8, L))
     cyb = jnp.broadcast_to(cy, (8, L))
 
-    def one(carry, _, t0c, t1c):
+    def one(carry, _):
         px, py = carry                      # canonical (8, L)
-        hit, pos = match.probe_pos(t0c, t1c, px[7], px[6], depth=depth)
-        lanes, jsel, count = match.topk_with_payload(hit, pos, K)
+        frag = jnp.stack([px[7], px[6]])    # this step's probe queries
 
         # degenerate advance: P == ±C (x-equality). P == -C degenerates to
         # doubling (select the doubling slope and keep walking); P == +C
@@ -342,12 +348,16 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
         lam = field.mul(num, inv)
         x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
         y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-        return (field.norm(x2), field.norm(y2)), (lanes, jsel, count, flags)
+        return (field.norm(x2), field.norm(y2)), (frag, flags)
 
     def run(px, py, t0, t1):
-        body = lambda c, x: one(c, x, t0, t1)   # noqa: E731
-        (px2, py2), outs = jax.lax.scan(body, (px, py), None, length=S)
-        return (px2, py2) + outs
+        (px2, py2), (frags, flags) = jax.lax.scan(
+            one, (px, py), None, length=S)
+        w0 = frags[:, 0, :].reshape(-1)      # (S*L,) step-major
+        w1 = frags[:, 1, :].reshape(-1)
+        hit, pos = match.probe_pos(t0, t1, w0, w1, depth=depth)
+        lanes, jsel, count = match.topk_with_payload(hit, pos, K)
+        return px2, py2, lanes, jsel, count, flags
 
     return jax.jit(run)
 
@@ -650,22 +660,24 @@ class BsgsEngine:
     def _decode(self, c0: int, lanes, jsel, counts, flags):
         cfg = self.cfg
         DB = self.n_devices * cfg.lanes       # global lanes per target
-        for s in range(cfg.steps):
-            if int(counts[s]) > 0:
-                if int(counts[s]) >= cfg.max_hits:
-                    print(f"[W] BSGS hit buffer saturated at c0={c0:#x} "
-                          f"step {s}; increase max_hits", flush=True)
-                for k in range(cfg.max_hits):
-                    g = int(lanes[s][k])
-                    if g < 0:
-                        continue
-                    t, lane = self._global_lane(g)
-                    c = c0 + (lane + s * DB) * cfg.stride
-                    # jsel is the sorted-table position; map to baby index
-                    # via the host-resident permutation of the active pass.
-                    j = int(self._perm[int(jsel[s][k])]) + 1
-                    self._record(t, c - j)
-                    self._record(t, c + j)
+        Lg = len(self.targets) * DB           # query-space width per step
+        # probe hits: top-K flat indices into the (S, Lg) query space
+        if int(counts) > 0:
+            if int(counts) >= cfg.max_hits:
+                print(f"[W] BSGS hit buffer saturated at c0={c0:#x}; "
+                      f"increase max_hits", flush=True)
+            for k in range(cfg.max_hits):
+                g = int(lanes[k])
+                if g < 0:
+                    continue
+                s, r = divmod(g, Lg)
+                t, lane = self._global_lane(r)
+                c = c0 + (lane + s * DB) * cfg.stride
+                # jsel is the sorted-table position; map to baby index
+                # via the host-resident permutation of the active pass.
+                j = int(self._perm[int(jsel[k])]) + 1
+                self._record(t, c - j)
+                self._record(t, c + j)
         # degenerate-lane flags: rows are (device-major ×) steps
         for row in range(flags.shape[0]):
             s = row % cfg.steps

@@ -60,18 +60,20 @@ def test_sharded_bsgs_finds_keys():
         px, py, lanes, jsel, counts, flags = step(px, py)
         lanes = np.asarray(lanes)
         jsel = np.asarray(jsel)
-        for s in range(cfg.steps):
-            for k in range(cfg.max_hits):
-                q = int(lanes[s][k])
-                if q < 0:
-                    continue
-                d, r = divmod(q, TB)
-                t, b = divmod(r, B)
-                g = d * B + b
-                c = c0 + (g + s * D * B) * stride
-                # jsel is a global sorted position; host perm maps to j
-                j = int(step.perm[int(jsel[s][k])]) + 1
-                record(t, c - j)
-                record(t, c + j)
+        # flat hit indices into the (S, D*TB) query space (step-major,
+        # device-major within a step)
+        for k in range(cfg.max_hits):
+            q = int(lanes[k])
+            if q < 0:
+                continue
+            s, rr = divmod(q, D * TB)
+            d, r = divmod(rr, TB)
+            t, b = divmod(r, B)
+            g = d * B + b
+            c = c0 + (g + s * D * B) * stride
+            # jsel is a global sorted position; host perm maps to j
+            j = int(step.perm[int(jsel[k])]) + 1
+            record(t, c - j)
+            record(t, c + j)
         c0 += span
     assert sorted(found.values()) == sorted(keys)
