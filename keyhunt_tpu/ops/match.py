@@ -84,6 +84,61 @@ def probe_pos(t0, t1, w0, w1, depth: int = 4):
     return hit, pos
 
 
+# -- bucketed probe: direct-indexed fixed-size buckets --------------------
+#
+# The searchsorted binary search is a 26-iteration while loop of gathers;
+# composed into larger jitted programs it costs ~150x its standalone time
+# on the current XLA:TPU toolchain (measured r2). The bucket layout
+# removes the loop entirely: entries are grouped by the top bits of their
+# first word into fixed-size padded slabs, and a probe is ONE gather of
+# each query's slab row + a vectorized compare — the TPU-native reading of
+# the reference's 256-way byte-sharded blooms + 257-bucket table index
+# (`keyhunt.cpp:1704-1718`, `build_bptable_cache` 186-244).
+
+def build_buckets(t0, t1, perm, avg: int = 32):
+    """Host: sorted fragment arrays -> direct-indexed bucket slabs.
+
+    Returns (slab0, slab1, permpad, shift) where slab* have shape
+    (nbuckets, maxlen) with 0xFFFFFFFF sentinel padding, bucket index =
+    w0 >> shift, and permpad maps padded slots back to baby indices.
+    maxlen is the ACTUAL largest bucket (no overflow possible)."""
+    m = int(t0.shape[0])
+    # nb >= 2 keeps shift <= 31 (a 32-bit shift on uint32 lanes is UB)
+    nb = 1 << max((m // max(avg, 1)).bit_length() - 1, 1)
+    shift = 32 - (nb.bit_length() - 1)
+    b = (t0.astype(np.uint32) >> np.uint32(shift)).astype(np.int64)
+    counts = np.bincount(b, minlength=nb)
+    maxlen = max(int(counts.max()), 1)
+    starts = np.zeros(nb, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    offsets = np.arange(m, dtype=np.int64) - np.repeat(starts, counts)
+    slots = b * maxlen + offsets
+    slab0 = np.full(nb * maxlen, 0xFFFFFFFF, np.uint32)
+    slab1 = np.full(nb * maxlen, 0xFFFFFFFF, np.uint32)
+    permpad = np.zeros(nb * maxlen, np.uint32)
+    slab0[slots] = t0
+    slab1[slots] = t1
+    permpad[slots] = perm
+    return (slab0.reshape(nb, maxlen), slab1.reshape(nb, maxlen),
+            permpad, shift)
+
+
+def probe_buckets(slab0, slab1, w0, w1, shift: int):
+    """Device: (hit, pos) for each query — ONE row gather per slab + a
+    vectorized compare over the bucket. pos indexes the PADDED slot space
+    (bucket*maxlen + slot); callers map through the padded permutation.
+    Exact (scans the whole bucket): no duplicate-chain depth limit."""
+    maxlen = slab0.shape[1]
+    bidx = jax.lax.shift_right_logical(w0, jnp.uint32(shift)).astype(jnp.int32)
+    r0 = slab0[bidx]                               # (Bq, maxlen)
+    r1 = slab1[bidx]
+    eq = (r0 == w0[:, None]) & (r1 == w1[:, None])
+    hit = eq.any(axis=1)
+    slot = jnp.argmax(eq, axis=1).astype(U32)
+    pos = bidx.astype(U32) * np.uint32(maxlen) + slot
+    return hit, pos
+
+
 def topk_indices(mask_flat, k: int):
     """Compress a boolean hit mask to at most k flat indices (-1 padded).
     The rare-hit path: k bounds hits *per step*, host re-scans if saturated.

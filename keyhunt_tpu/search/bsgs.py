@@ -58,6 +58,19 @@ class BabyTable:
     perm: np.ndarray    # original j-1 (uint32) for each sorted slot
     depth: int = 4
 
+    def buckets(self, avg: int = 32):
+        """Direct-indexed bucket slabs (ops.match.build_buckets), built
+        lazily from the canonical sorted arrays and cached: (slab0, slab1,
+        permpad, shift). The device probe gathers one slab row per query —
+        no binary-search loop (see match.build_buckets for why)."""
+        cached = getattr(self, "_buckets", None)
+        if cached is None:
+            cached = match.build_buckets(np.asarray(self.t0),
+                                         np.asarray(self.t1),
+                                         np.asarray(self.perm), avg=avg)
+            self._buckets = cached
+        return cached
+
 
 def default_depth(m: int) -> int:
     """Duplicate-chain scan depth for the 64-bit fragment probe. A true
@@ -295,18 +308,20 @@ class BsgsConfig:
 
 
 @functools.lru_cache(maxsize=None)
-def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
+def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4):
     """Jitted giant walk: state (px, py) of T*B lanes; the scan advances
     every lane by -(B*2m)*G per inner step and STACKS each step's X
-    fragments; ONE batched probe over all S*L queries runs after the scan.
+    fragments; ONE batched bucket probe over all S*L queries runs after
+    the scan.
 
-    Why hoisted: `searchsorted`'s binary-search while-loop nested inside
-    the scan's while-loop costs ~0.65 ms per inner iteration on this
-    runtime (~17 ms/step, measured) — the same probe as a single flat
-    S*L-query call outside the scan is ~0.1 ms. The baby table arrays
-    (t0, t1) are runtime arguments so the compile is shared across tables
-    of one size class (daemon requests, k-factor reuse); the position→j
-    permutation stays on host (only consulted for rare hits).
+    Why hoisted + bucketed: `searchsorted`'s binary-search while-loop
+    costs ~0.65 ms per iteration nested in the scan (~17 ms/step) and
+    ~150x its standalone time even hoisted, on the current toolchain —
+    the bucket probe is ONE gather + compare (match.probe_buckets). The
+    slab arrays are runtime arguments so the compile is shared across
+    tables of one size class (daemon requests, k-factor reuse); `shift`
+    (the static bucket-index shift) keys the compile cache. The padded
+    position→j permutation stays on host (only consulted for rare hits).
 
     Outputs: top-K flat hit indices into the (S, L) query space + their
     sorted-table positions + total count, and per step up to DEGEN_SLOTS
@@ -350,12 +365,12 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, depth: int = 4):
         y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
         return (field.norm(x2), field.norm(y2)), (frag, flags)
 
-    def run(px, py, t0, t1):
+    def run(px, py, slab0, slab1):
         (px2, py2), (frags, flags) = jax.lax.scan(
             one, (px, py), None, length=S)
         w0 = frags[:, 0, :].reshape(-1)      # (S*L,) step-major
         w1 = frags[:, 1, :].reshape(-1)
-        hit, pos = match.probe_pos(t0, t1, w0, w1, depth=depth)
+        hit, pos = match.probe_buckets(slab0, slab1, w0, w1, shift)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return px2, py2, lanes, jsel, count, flags
 
@@ -448,7 +463,6 @@ class BsgsEngine:
             self.mesh = make_mesh(self.n_devices)
         else:
             self.mesh = None
-            self.step_fn = make_giant_step_fn(cfg, len(self.targets), tbl.depth)
         self._passes = self._build_passes()   # [(t0, t1, perm) numpy]
         self._set_pass(self._passes[0])
         self._offsets_cache: list | None = None
@@ -483,21 +497,26 @@ class BsgsEngine:
         return passes
 
     def _set_pass(self, tables):
-        """Activate one (t0, t1, perm) probe table. Single-device: the
-        table rides as runtime jit arguments. Multi-device: rebuild the
-        sharded stepper (table shards are baked per mesh placement)."""
+        """Activate one (t0, t1, perm) probe table, converted to the
+        direct-indexed bucket layout. Single-device: the slabs ride as
+        runtime jit arguments. Multi-device: rebuild the sharded stepper
+        (bucket shards are baked per mesh placement)."""
         t0, t1, perm = tables
+        sub = self.tbl if t0 is self.tbl.t0 else \
+            BabyTable(m=self.tbl.m, t0=t0, t1=t1, perm=perm,
+                      depth=self.tbl.depth)
         if self.n_devices > 1:
             from ..parallel.bsgs_sharded import make_sharded_giant_step
-            sub = BabyTable(m=self.tbl.m, t0=t0, t1=t1, perm=perm,
-                            depth=self.tbl.depth)
             self.step_fn = make_sharded_giant_step(
                 self.cfg, sub, self.mesh, len(self.targets))
-            self._perm = self.step_fn.perm      # padded, shard-major
+            self._perm = self.step_fn.perm      # padded slot space
             self._t0 = self._t1 = None
         else:
-            self._t0, self._t1 = jnp.asarray(t0), jnp.asarray(t1)
-            self._perm = perm
+            slab0, slab1, permpad, shift = sub.buckets()
+            self._t0, self._t1 = jnp.asarray(slab0), jnp.asarray(slab1)
+            self._perm = permpad
+            self.step_fn = make_giant_step_fn(
+                self.cfg, len(self.targets), shift)
 
     def _dispatch(self, state):
         if self.n_devices > 1:
