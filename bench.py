@@ -21,8 +21,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+#: baby tables persist here between runs — OUTSIDE the repo working tree
+#: (a 2^26 table is ~770 MB; keep it out of the checkout)
+DEFAULT_TMPDIR = os.environ.get(
+    "KEYHUNT_TPU_BENCH_DIR", os.path.expanduser("~/.cache/keyhunt_tpu"))
 
 BASELINE_ADDRESS_KEYS_PER_S = 4.76e6      # README.md:244 (x2 counting)
 BASELINE_VANITY_ENDO_KEYS_PER_S = 5.82e6  # README.md:301 (x6 counting, -e)
@@ -63,6 +69,7 @@ def bench_bsgs(args, emit=True):
         print(f"[bench] devices={jax.devices()} cfg={cfg}",
               file=sys.stderr, flush=True)
     t_b = time.time()
+    os.makedirs(args.tmpdir, exist_ok=True)
     path = table_path(cfg.m, args.tmpdir)
     try:
         tbl = load_table(cfg.m, path=path, verify=False)
@@ -77,19 +84,20 @@ def bench_bsgs(args, emit=True):
     if args.verbose:
         print(f"[bench] baby table m=2^{cfg.m.bit_length()-1} ready in "
               f"{time.time()-t_b:.1f}s", file=sys.stderr, flush=True)
-    t0_, t1_ = jnp.asarray(tbl.t0), jnp.asarray(tbl.t1)
-    step = make_giant_step_fn(cfg, n_targets=1, depth=tbl.depth)
+    slab0, slab1, _permpad, shift = tbl.buckets()
+    s0_, s1_ = jnp.asarray(slab0), jnp.asarray(slab1)
+    step = make_giant_step_fn(cfg, 1, shift)
     # one unreachable target point far outside the walked window
     tx, ty = ecc.pubkey((1 << 200) + 12345)
     px, py = seed_lanes(cfg, [(tx, ty)], c0=cfg.stride * cfg.lanes + 1)
     t_c = time.time()
-    out = step(px, py, t0_, t1_)
+    out = step(px, py, s0_, s1_)
     jax.block_until_ready(out)
     if args.verbose:
         print(f"[bench] compile+first call {time.time()-t_c:.1f}s",
               file=sys.stderr, flush=True)
 
-    fn = lambda px, py: step(px, py, t0_, t1_)      # noqa: E731
+    fn = lambda px, py: step(px, py, s0_, s1_)      # noqa: E731
     calls, dt = _steady_rate(fn, (px, py), args.seconds)
     rate = calls * cfg.keys_per_call(1) / dt
     points = calls * cfg.lanes * cfg.steps / dt
@@ -185,7 +193,7 @@ def main(argv=None) -> int:
                     choices=["auto", "jnp", "pallas"],
                     help="force the hash160 backend inside the walker")
     ap.add_argument("--seconds", type=float, default=15.0)
-    ap.add_argument("--tmpdir", default=".")
+    ap.add_argument("--tmpdir", default=DEFAULT_TMPDIR)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 

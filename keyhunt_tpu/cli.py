@@ -74,6 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="explicit path for the persisted bP/baby table")
     p.add_argument("--load-ptable", action="store_true",
                    help="require an existing table file; do not rebuild")
+    p.add_argument("--table-partitions", type=int, default=0,
+                   help="BSGS over-HBM regime: keep 1/N of the baby table "
+                        "device-resident and sweep the range N times (the "
+                        "role of the reference's mmap'd chunked blooms)")
     p.add_argument("--rmd-batch-size", type=int, default=None,
                    help="accepted for parity; device batch is --pivots*--width")
     # TPU sizing

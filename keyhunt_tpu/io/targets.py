@@ -207,6 +207,24 @@ def vanity_ranges(prefix: str) -> list[tuple[bytes, bytes]]:
     return out
 
 
+def read_vanity_file(path: str) -> list[str]:
+    """One base58 prefix per line; invalid strings are warned about and
+    skipped (readFileVanity, keyhunt.cpp:6990-7018; fixture
+    tests/vanitytargets.txt)."""
+    out = []
+    with open(path) as fh:
+        for ln in fh:
+            tok = ln.strip()
+            if not tok or len(tok) >= 36:
+                continue
+            if all(c in base58.ALPHABET for c in tok):
+                out.append(tok)
+            else:
+                print(f'[E] the string "{tok}" is not valid Base58, '
+                      "omiting it", flush=True)
+    return out
+
+
 def load_vanity_targets(prefixes: list[str]) -> TargetSet:
     """Vanity search TargetSet: exact = the prefix strings (verification is
     a startswith on the derived address); probe tables unused (the walker

@@ -139,6 +139,31 @@ def probe_buckets(slab0, slab1, w0, w1, shift: int):
     return hit, pos
 
 
+def probe_buckets_ranged(slab0, slab1, w0, w1, shift: int, base):
+    """Like `probe_buckets`, but against a PARTITION of the global bucket
+    space: slab* hold rows for global buckets [base, base + per) only.
+    `base` is a TRACED int32 scalar, so one compile serves every partition
+    of a sweep (the over-HBM regime: a table bigger than device memory is
+    split into bucket-contiguous partitions and the giant walk sweeps the
+    range once per resident partition — the TPU reading of the reference's
+    mmap'd chunked blooms, `bloom/bloom.cpp:491-765`,
+    `keyhunt.cpp:1844-1956`). Off-partition queries simply miss. pos is the
+    GLOBAL padded slot (gb*maxlen + slot) — same space as probe_buckets
+    over the full slabs."""
+    per, maxlen = slab0.shape
+    gb = jax.lax.shift_right_logical(w0, jnp.uint32(shift)).astype(jnp.int32)
+    lb = gb - base
+    mine = (lb >= 0) & (lb < per)
+    lclip = jnp.clip(lb, 0, per - 1)
+    r0 = slab0[lclip]                              # (Bq, maxlen)
+    r1 = slab1[lclip]
+    eq = (r0 == w0[:, None]) & (r1 == w1[:, None]) & mine[:, None]
+    hit = eq.any(axis=1)
+    slot = jnp.argmax(eq, axis=1).astype(U32)
+    pos = gb.astype(U32) * np.uint32(maxlen) + slot
+    return hit, pos
+
+
 def topk_indices(mask_flat, k: int):
     """Compress a boolean hit mask to at most k flat indices (-1 padded).
     The rare-hit path: k bounds hits *per step*, host re-scans if saturated.

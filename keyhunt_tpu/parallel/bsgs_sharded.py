@@ -14,9 +14,11 @@ Layout per step (mesh axis 'kspace', D devices):
 - lanes: each device walks B giant lanes covering its own stripe of
   centers (global lane l = d*B + b advances by D*B*stride keys/step);
 - probe: every device all-gathers all D*B queries (64 bits each — tiny on
-  ICI), probes its local shard, and the per-shard hits/payloads combine
-  with a psum. A fragment lives in exactly one value shard, so the psum
-  of (hit, j+1) pairs is exact, not a vote.
+  ICI), probes its local BUCKET-SLAB shard (`ops.match.build_buckets` —
+  one row gather + compare, no binary-search loop; the searchsorted form
+  costs ~150x composed, measured r2), and the per-shard hits/payloads
+  combine with a psum. A fragment lives in exactly one bucket (hence one
+  shard), so the psum of (hit, pos+1) pairs is exact, not a vote.
 """
 
 from __future__ import annotations
@@ -36,49 +38,56 @@ from .mesh import AXIS
 U32 = jnp.uint32
 
 
-def shard_table(tbl: BabyTable, n_devices: int):
-    """Split the sorted fragment table into D equal chunks (value ranges).
-    Pads to a multiple of D with sentinel entries that can never match.
-    Returns device-bound (t0, t1) shard stacks plus the padded position→j
-    permutation, which stays in HOST RAM (consulted only for rare hits —
-    8 device bytes/entry instead of 12)."""
-    m = tbl.t0.shape[0]
-    per = -(-m // n_devices)
-    pad = per * n_devices - m
-    t0 = np.concatenate([tbl.t0, np.full(pad, 0xFFFFFFFF, np.uint32)])
-    t1 = np.concatenate([tbl.t1, np.full(pad, 0xFFFFFFFF, np.uint32)])
-    perm = np.concatenate([tbl.perm, np.full(pad, 0, np.uint32)])
-    return (t0.reshape(n_devices, per), t1.reshape(n_devices, per), perm)
+def shard_buckets(tbl: BabyTable, n_devices: int, avg: int = 32):
+    """Split the direct-indexed bucket slabs by BUCKET INDEX into D equal
+    stacks: device d owns buckets [d*per, (d+1)*per). Bucket index is
+    `w0 >> shift`, so query routing is a shift+compare — the TPU reading
+    of the reference's 256-way first-byte bloom shards
+    (`keyhunt.cpp:1704-1718`). If the table has fewer buckets than
+    devices, sentinel rows pad the tail shards (they never match).
+
+    Returns (slab0, slab1, permpad, shift) with slab* shaped
+    (D, per, maxlen); permpad is the GLOBAL padded position→j permutation
+    (host RAM, consulted only for rare hits)."""
+    slab0, slab1, permpad, shift = tbl.buckets(avg)
+    nb, maxlen = slab0.shape
+    if nb < n_devices:
+        pad = n_devices - nb
+        fill = np.full((pad, maxlen), 0xFFFFFFFF, np.uint32)
+        slab0 = np.concatenate([slab0, fill])
+        slab1 = np.concatenate([slab1, fill])
+        permpad = np.concatenate(
+            [permpad, np.zeros(pad * maxlen, np.uint32)])
+        nb = n_devices
+    assert nb % n_devices == 0            # both are powers of two
+    per = nb // n_devices
+    return (slab0.reshape(n_devices, per, maxlen),
+            slab1.reshape(n_devices, per, maxlen), permpad, shift)
 
 
-def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
-                            n_targets: int = 1):
-    """SPMD giant walk over the mesh. State: (px, py) with T*D*B global
-    lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). The scan
-    advances lanes and stacks per-step X fragments; ONE all-gather ships
-    all S steps' queries (S*Lg * 8 bytes) and ONE probe of the local value
-    shard runs per call — the nested-while probe-per-step form costs
-    ~170x more (see search.bsgs.make_giant_step_fn), and batching the
-    all-gather also replaces S small collectives with one.
+#: compiled sharded steppers keyed by everything shape/geometry-relevant —
+#: table slabs ride as RUNTIME jit arguments, so ggsb pass switches and
+#: daemon target-set changes reuse the compile (VERDICT r2 weak #8).
+_STEPPER_CACHE: dict = {}
 
-    Outputs: replicated top-K flat hits into the (S, Lg) query space
-    (step-major, device-major within a step) + global sorted positions +
-    count, plus per-device degenerate-lane flags. The returned `run`
-    carries `.perm` — the padded host permutation mapping global sorted
-    positions back to baby indices j."""
+
+def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
+                     per: int, maxlen: int, shift: int):
+    key = (cfg, n_targets, mesh, per, maxlen, shift)
+    hit = _STEPPER_CACHE.get(key)
+    if hit is not None:
+        return hit
     D = mesh.devices.size
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     Lg = n_targets * D * B                     # global lanes
     Ll = n_targets * B                         # lanes per device
-    t0s, t1s, perm_host = shard_table(tbl, D)
-    per = t0s.shape[1]
     adv = ecc.ec_mul(D * B * cfg.stride)       # global advance per step
     negadv = ecc.ec_neg(adv)
     cxc = u256.from_int(negadv[0], (1,))
     cyc = u256.from_int(negadv[1], (1,))
 
-    def local_step(t0, t1, px, py):
-        # px, py: (8, Ll) local lanes; t0/t1: (per,) local shard
+    def local_step(s0, s1, px, py):
+        # px, py: (8, Ll) local lanes; s0/s1: (per, maxlen) local buckets
         cxb = jnp.broadcast_to(jnp.asarray(cxc), (8, Ll)).astype(U32)
         cyb = jnp.broadcast_to(jnp.asarray(cyc), (8, Ll)).astype(U32)
 
@@ -114,18 +123,30 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
         qall = jax.lax.all_gather(frags, AXIS)
         w0 = qall[:, :, 0, :].transpose(1, 0, 2).reshape(-1)    # (S*Lg,)
         w1 = qall[:, :, 1, :].transpose(1, 0, 2).reshape(-1)
-        hit_l, pos_l = match.probe_pos(t0, t1, w0, w1, depth=tbl.depth)
-        # shard-local position -> global sorted position
-        gpos = pos_l + jax.lax.axis_index(AXIS).astype(U32) * np.uint32(per)
+        # bucket probe against the local shard: global bucket = w0 >> shift,
+        # local row = global - my*per; off-shard queries are masked out.
+        myi = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        gb = jax.lax.shift_right_logical(w0, jnp.uint32(shift)) \
+            .astype(jnp.int32)
+        lb = gb - myi * np.int32(per)
+        mine = (lb >= 0) & (lb < per)
+        lclip = jnp.clip(lb, 0, per - 1)
+        r0 = s0[lclip]                              # (S*Lg, maxlen)
+        r1 = s1[lclip]
+        eq = (r0 == w0[:, None]) & (r1 == w1[:, None]) & mine[:, None]
+        hit_l = eq.any(axis=1)
+        slot = jnp.argmax(eq, axis=1).astype(U32)
+        # global padded position (bucket*maxlen + slot) for the host perm
+        gpos = gb.astype(U32) * np.uint32(maxlen) + slot
         hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
-        # a fragment lives in exactly one value shard: psum is a select
+        # a fragment lives in exactly one bucket shard: psum is a select
         pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
         lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
         jout = jnp.where(lanes >= 0, possel - 1, 0)
         return px2, py2, lanes, jout, count, flags
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None), P(AXIS, None),
+             in_specs=(P(AXIS, None, None), P(AXIS, None, None),
                        P(None, AXIS), P(None, AXIS)),
              # flags ride P(AXIS): device d's (S, DEGEN_SLOTS) block sits at
              # rows [d*S, (d+1)*S) of the concatenated output
@@ -134,16 +155,38 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
              # Pallas calls inside the body don't declare varying-mesh-axes
              # metadata; vma checking (default-on since jax 0.9) rejects them.
              check_vma=False)
-    def stepper(t0, t1, px, py):
-        out = local_step(t0[0], t1[0], px, py)
-        return out
+    def stepper(s0, s1, px, py):
+        return local_step(s0[0], s1[0], px, py)
 
-    sh_tab = NamedSharding(mesh, P(AXIS, None))
+    sh_tab = NamedSharding(mesh, P(AXIS, None, None))
     sh_pts = NamedSharding(mesh, P(None, AXIS))
     jitted = jax.jit(stepper, in_shardings=(sh_tab, sh_tab, sh_pts, sh_pts))
+    _STEPPER_CACHE[key] = jitted
+    return jitted
+
+
+def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
+                            n_targets: int = 1):
+    """SPMD giant walk over the mesh. State: (px, py) with T*D*B global
+    lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). The scan
+    advances lanes and stacks per-step X fragments; ONE all-gather ships
+    all S steps' queries (S*Lg * 8 bytes) and ONE bucket probe of the
+    local shard runs per call — the nested-while searchsorted form costs
+    ~150x more composed (see ops.match.build_buckets), and batching the
+    all-gather also replaces S small collectives with one.
+
+    Outputs: replicated top-K flat hits into the (S, Lg) query space
+    (step-major, device-major within a step) + global padded slab
+    positions + count, plus per-device degenerate-lane flags. The
+    returned `run` carries `.perm` — the padded host permutation mapping
+    global positions back to baby indices j. Slabs are runtime jit args:
+    ggsb pass switches with equal slab shapes reuse the compile."""
+    s0, s1, perm_host, shift = shard_buckets(tbl, mesh.devices.size)
+    per, maxlen = s0.shape[1], s0.shape[2]
+    jitted = _sharded_stepper(cfg, n_targets, mesh, per, maxlen, shift)
 
     def run(px, py):
-        return jitted(t0s, t1s, px, py)
+        return jitted(s0, s1, px, py)
 
     run.perm = perm_host
     return run

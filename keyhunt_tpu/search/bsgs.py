@@ -286,6 +286,14 @@ class BsgsConfig:
     scheduler: str = "sequential"
     block_count: int = 0        # ggsb: number of baby-table blocks
     block_size: int = 0         # ggsb: babies per block
+    # over-HBM regime: split the bucket slabs into P value-contiguous
+    # partitions; only one partition is device-resident at a time and the
+    # giant walk sweeps the range once per partition (full coverage after
+    # P sweeps). The TPU reading of the reference's mmap'd chunked blooms
+    # + bP files (bloom.cpp:491-765, keyhunt.cpp:1844-1956): capacity
+    # beyond device memory, paid for in sweep count. 0/1 = whole table
+    # resident (normal regime).
+    table_partitions: int = 0
 
     @property
     def stride(self) -> int:    # keys covered per giant point
@@ -307,8 +315,30 @@ class BsgsConfig:
         return max(count, 1), max(size, 1)
 
 
+def bucket_partitions(tbl: BabyTable, parts: int):
+    """Split the direct-indexed bucket slabs into `parts` value-contiguous
+    partitions: partition p holds global bucket rows [p*per, (p+1)*per).
+    Returns ([(slab0_p, slab1_p, base_row)], permpad, shift) — permpad is
+    the GLOBAL padded position→j permutation shared by all partitions (the
+    ranged probe reports global padded positions)."""
+    slab0, slab1, permpad, shift = tbl.buckets()
+    nb, maxlen = slab0.shape
+    if nb % parts:
+        pad = parts - nb % parts
+        fill = np.full((pad, maxlen), 0xFFFFFFFF, np.uint32)
+        slab0 = np.concatenate([slab0, fill])
+        slab1 = np.concatenate([slab1, fill])
+        permpad = np.concatenate([permpad, np.zeros(pad * maxlen, np.uint32)])
+        nb += pad
+    per = nb // parts
+    out = [(slab0[p * per:(p + 1) * per], slab1[p * per:(p + 1) * per],
+            p * per) for p in range(parts)]
+    return out, permpad, shift
+
+
 @functools.lru_cache(maxsize=None)
-def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4):
+def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
+                       ranged: bool = False):
     """Jitted giant walk: state (px, py) of T*B lanes; the scan advances
     every lane by -(B*2m)*G per inner step and STACKS each step's X
     fragments; ONE batched bucket probe over all S*L queries runs after
@@ -365,16 +395,28 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4):
         y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
         return (field.norm(x2), field.norm(y2)), (frag, flags)
 
-    def run(px, py, slab0, slab1):
+    def walk(px, py):
         (px2, py2), (frags, flags) = jax.lax.scan(
             one, (px, py), None, length=S)
         w0 = frags[:, 0, :].reshape(-1)      # (S*L,) step-major
         w1 = frags[:, 1, :].reshape(-1)
+        return px2, py2, w0, w1, flags
+
+    def run(px, py, slab0, slab1):
+        px2, py2, w0, w1, flags = walk(px, py)
         hit, pos = match.probe_buckets(slab0, slab1, w0, w1, shift)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return px2, py2, lanes, jsel, count, flags
 
-    return jax.jit(run)
+    def run_ranged(px, py, slab0, slab1, base):
+        # partition probe: slabs hold global bucket rows [base, base+per)
+        px2, py2, w0, w1, flags = walk(px, py)
+        hit, pos = match.probe_buckets_ranged(slab0, slab1, w0, w1, shift,
+                                              base)
+        lanes, jsel, count = match.topk_with_payload(hit, pos, K)
+        return px2, py2, lanes, jsel, count, flags
+
+    return jax.jit(run_ranged if ranged else run)
 
 
 def seed_lanes(cfg: BsgsConfig, targets: list, c0: int, on_exact=None,
@@ -463,24 +505,43 @@ class BsgsEngine:
             self.mesh = make_mesh(self.n_devices)
         else:
             self.mesh = None
-        self._passes = self._build_passes()   # [(t0, t1, perm) numpy]
+        self._passes = self._build_passes()   # tagged pass descriptors
         self._set_pass(self._passes[0])
         self._offsets_cache: list | None = None
         import random as _r
         self.rng = _r.Random(rng_seed)
 
     def _build_passes(self):
-        """Probe tables per search pass. One pass (the whole sorted table)
-        for every scheduler except ggsb, which splits the baby indices
-        into blocks: pass b probes only j in (b*bs, (b+1)*bs] — smaller
-        resident tables, full coverage after all passes (the TPU reading
-        of the reference's GGSB block search, keyhunt.cpp:1477-1499)."""
+        """Probe tables per search pass, tagged ("tbl", t0, t1, perm) or
+        ("part", slab0, slab1, base, permpad, shift).
+
+        One pass (the whole sorted table) for every scheduler except:
+        - ggsb, which splits the BABY INDICES into blocks: pass b probes
+          only j in (b*bs, (b+1)*bs] (the TPU reading of the reference's
+          GGSB block search, keyhunt.cpp:1477-1499);
+        - table_partitions P > 1 (over-HBM regime), which splits the
+          BUCKET SLABS into P value-contiguous partitions: each pass
+          sweeps the range against one device-resident partition (see
+          BsgsConfig.table_partitions)."""
         tbl = self.tbl
+        if self.cfg.table_partitions > 1:
+            if self.cfg.scheduler == "ggsb":
+                raise ValueError("table_partitions and the ggsb scheduler "
+                                 "are both pass machineries; pick one")
+            if self.n_devices > 1:
+                raise ValueError("table_partitions > 1 with --devices > 1 "
+                                 "is not supported yet: mesh sharding "
+                                 "already spreads the table over aggregate "
+                                 "HBM — partition only past that")
+            parts, permpad, shift = bucket_partitions(
+                tbl, self.cfg.table_partitions)
+            return [("part", s0, s1, base, permpad, shift)
+                    for s0, s1, base in parts]
         if self.cfg.scheduler != "ggsb":
-            return [(tbl.t0, tbl.t1, tbl.perm)]
+            return [("tbl", tbl.t0, tbl.t1, tbl.perm)]
         count, size = self.cfg.ggsb_blocks()
         if count <= 1:
-            return [(tbl.t0, tbl.t1, tbl.perm)]
+            return [("tbl", tbl.t0, tbl.t1, tbl.perm)]
         pad_n = 1 << (max(size, 1) - 1).bit_length()
         passes = []
         for b in range(count):
@@ -493,15 +554,26 @@ class BsgsEngine:
                 t0 = np.concatenate([t0, np.full(fill, 0xFFFFFFFF, np.uint32)])
                 t1 = np.concatenate([t1, np.full(fill, 0xFFFFFFFF, np.uint32)])
                 perm = np.concatenate([perm, np.zeros(fill, np.uint32)])
-            passes.append((t0, t1, perm))
+            passes.append(("tbl", t0, t1, perm))
         return passes
 
-    def _set_pass(self, tables):
-        """Activate one (t0, t1, perm) probe table, converted to the
-        direct-indexed bucket layout. Single-device: the slabs ride as
+    def _set_pass(self, entry):
+        """Activate one pass. "tbl" passes convert the sorted arrays to the
+        direct-indexed bucket layout; "part" passes bind one resident
+        bucket partition + its base row (base is a runtime argument, so
+        all partitions share ONE compile). Single-device: slabs ride as
         runtime jit arguments. Multi-device: rebuild the sharded stepper
-        (bucket shards are baked per mesh placement)."""
-        t0, t1, perm = tables
+        (cached by slab geometry, parallel.bsgs_sharded)."""
+        if entry[0] == "part":
+            _, slab0, slab1, base, permpad, shift = entry
+            self._t0, self._t1 = jnp.asarray(slab0), jnp.asarray(slab1)
+            self._base = jnp.int32(base)
+            self._perm = permpad
+            self.step_fn = make_giant_step_fn(
+                self.cfg, len(self.targets), shift, ranged=True)
+            return
+        _, t0, t1, perm = entry
+        self._base = None
         sub = self.tbl if t0 is self.tbl.t0 else \
             BabyTable(m=self.tbl.m, t0=t0, t1=t1, perm=perm,
                       depth=self.tbl.depth)
@@ -519,6 +591,8 @@ class BsgsEngine:
                 self.cfg, len(self.targets), shift)
 
     def _dispatch(self, state):
+        if self._base is not None:
+            return self.step_fn(*state, self._t0, self._t1, self._base)
         if self.n_devices > 1:
             return self.step_fn(*state)
         return self.step_fn(*state, self._t0, self._t1)
@@ -650,8 +724,11 @@ class BsgsEngine:
             state_c0 = c0 + span
             self._decode(c0, np.asarray(lanes), np.asarray(jsel),
                          np.asarray(counts), np.asarray(flags))
+            # a partition pass covers only m/P babies per giant point:
+            # count effective keys honestly (full rate shows after P sweeps)
+            parts = max(self.cfg.table_partitions, 1)
             self.meter.add(self.n_devices
-                           * cfg.keys_per_call(len(self.targets)))
+                           * cfg.keys_per_call(len(self.targets)) // parts)
             now = _t.time()
             if not self.quiet and now - last_stats >= self.stats_every:
                 if self.matrix:
@@ -731,6 +808,12 @@ def run_bsgs_cli(args) -> int:
     from ..cli import resolve_range, resolve_devices, parse_int
     from ..io import targets as tio
 
+    # flag incompatibilities, exactly as the reference rejects them
+    # (keyhunt.cpp:1185-1194)
+    if getattr(args, "endomorphism", False):
+        raise SystemExit("[E] Endomorphism doesn't work with BSGS")
+    if parse_int(getattr(args, "stride", "1") or "1") != 1:
+        raise SystemExit("[E] Stride doesn't work with BSGS")
     if not args.file:
         raise SystemExit("[E] -f FILE with public keys required")
     if not os.path.exists(args.file):
@@ -762,7 +845,8 @@ def run_bsgs_cli(args) -> int:
         scheduler = "ggsb"                 # --bsgs-block-* implies -B ggsb
     cfg = BsgsConfig(m=m, scheduler=scheduler,
                      block_count=getattr(args, "bsgs_block_count", 0),
-                     block_size=getattr(args, "bsgs_block_size", 0))
+                     block_size=getattr(args, "bsgs_block_size", 0),
+                     table_partitions=getattr(args, "table_partitions", 0))
     eng = BsgsEngine(cfg, tbl, pts, start, end, quiet=args.quiet,
                      stats_every=args.stats, matrix=args.matrix,
                      devices=devices)

@@ -121,14 +121,88 @@ class Engine:
     # -- host coverage of tiny keys (below the walker's pivot floor) -------
 
     def _scan_low_region(self):
+        keys = []
         lo_end = min(self.end, self.walker_base)
         if self.start <= lo_end:
-            for key in range(self.start, lo_end + 1, self.cfg.stride):
-                self._verify_and_record(key)
+            keys += range(self.start, lo_end + 1, self.cfg.stride)
         if self.end > self.high_bound:
-            for key in range(max(self.start, self.high_bound + 1),
-                             self.end + 1, self.cfg.stride):
+            keys += range(max(self.start, self.high_bound + 1),
+                          self.end + 1, self.cfg.stride)
+        if not keys:
+            return
+        from .. import native
+        if native.available() and len(keys) > 256:
+            if not self.quiet:
+                print(f"[+] covering {len(keys)} keyspace-edge keys on host "
+                      "(native batch)", flush=True)
+            self._scan_keys_native(keys)
+        else:
+            if not self.quiet and len(keys) > 4096:
+                print(f"[+] covering {len(keys)} keyspace-edge keys on host "
+                      "(python oracle — build native/ for a fast batch path)",
+                      flush=True)
+            for key in keys:
                 self._verify_and_record(key)
+
+    def _scan_keys_native(self, keys):
+        """Batch pre-filter for the keyspace-edge slivers: native (C++)
+        pubkeys + hashes over the whole batch, exact host verify only on
+        the (rare) matches — replaces the multi-minute silent per-key
+        Python loop that default full ranges used to hit."""
+        from .. import native
+        pts = native.pubkey_batch(keys)
+        mode = self.targets.mode
+        survivors = set()
+        if mode == "xpoint":
+            for k, pt in zip(keys, pts):
+                if pt is not None and pt[0] in self.targets.exact:
+                    survivors.add(k)
+        elif mode == "eth":
+            for k, pt in zip(keys, pts):
+                if pt is None:
+                    continue
+                blob = pt[0].to_bytes(32, "big") + pt[1].to_bytes(32, "big")
+                if native.keccak256(blob)[12:] in self.targets.exact:
+                    survivors.add(k)
+        else:                              # hash160 or vanity
+            forms = []                     # (msg_len, rows, row->key)
+            if self.cfg.mode in ("compressed", "both"):
+                rows, idx = [], []
+                for k, pt in zip(keys, pts):
+                    if pt is None:
+                        continue
+                    xb = pt[0].to_bytes(32, "big")
+                    # both parities: the flipped prefix is pubkey(N-k),
+                    # which the compressed walk also covers (x2 counting)
+                    rows.append(b"\x02" + xb)
+                    rows.append(b"\x03" + xb)
+                    idx += [k, k]
+                forms.append((33, rows, idx))
+            if self.cfg.mode in ("uncompressed", "both"):
+                rows, idx = [], []
+                for k, pt in zip(keys, pts):
+                    if pt is None:
+                        continue
+                    rows.append(b"\x04" + pt[0].to_bytes(32, "big")
+                                + pt[1].to_bytes(32, "big"))
+                    idx.append(k)
+                forms.append((65, rows, idx))
+            ranges = self.targets.points if mode == "vanity" else None
+            for msg_len, rows, idx in forms:
+                if not rows:
+                    continue
+                msgs = np.frombuffer(b"".join(rows), np.uint8) \
+                    .reshape(len(rows), msg_len)
+                hs = native.hash160_batch(msgs)
+                for i in range(hs.shape[0]):
+                    h = hs[i].tobytes()
+                    if ranges is not None:
+                        if any(lo <= h <= hi for lo, hi in ranges):
+                            survivors.add(idx[i])
+                    elif h in self.targets.exact:
+                        survivors.add(idx[i])
+        for k in sorted(survivors):
+            self._verify_and_record(k)
 
     # -- candidate verification (host oracle, exact) -----------------------
 
@@ -140,7 +214,7 @@ class Engine:
         cand = {key}
         if self.cfg.mode in ("compressed", "xpoint", "both"):
             cand.add(ecc.N - key)
-        ok = False
+        matched = []                      # (candidate key, matched target)
         for k in sorted(cand):
             pt = ecc.pubkey(k)
             hit = None
@@ -172,13 +246,25 @@ class Engine:
                     hu = hash160(ecc.uncompress_bytes(pt))
                     if hu in self.targets.exact:
                         hit = hu
-            if hit is not None and k not in self.found_keys:
-                self.found_keys.add(k)
-                self.found_targets.add(hit)
-                self.sink.record(k, "eth" if mode == "eth" else "btc",
-                                 compressed=None if self.cfg.mode == "both"
-                                 else self.cfg.mode != "uncompressed")
-                ok = True
+            if hit is not None:
+                matched.append((k, hit))
+        if mode == "xpoint" and len(matched) > 1:
+            # an X target matches both k and N-k: canonicalize to the key
+            # inside the requested range (the reference recomputes and fixes
+            # the sign before reporting, keyhunt.cpp:3629-3634) rather than
+            # reporting both.
+            pref = [mk for mk in matched if self.start <= mk[0] <= self.end]
+            matched = pref[:1] if pref else matched[:1]
+        ok = False
+        for k, hit in matched:
+            if k in self.found_keys:
+                continue
+            self.found_keys.add(k)
+            self.found_targets.add(hit)
+            self.sink.record(k, "eth" if mode == "eth" else "btc",
+                             compressed=None if self.cfg.mode == "both"
+                             else self.cfg.mode != "uncompressed")
+            ok = True
         return ok
 
     # -- main loop ---------------------------------------------------------

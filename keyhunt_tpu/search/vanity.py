@@ -39,8 +39,7 @@ def run_vanity_cli(args, start: int, end: int) -> int:
     from ..cli import resolve_devices, resolve_nseq
     prefixes = list(args.vanity)
     if args.file:
-        with open(args.file) as fh:
-            prefixes += [ln.strip() for ln in fh if ln.strip()]
+        prefixes += tio.read_vanity_file(args.file)
     if not prefixes:
         raise SystemExit("[E] vanity mode needs -v PREFIX or -f FILE")
     print(f"[+] vanity search: {len(prefixes)} prefix(es), "

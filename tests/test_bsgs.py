@@ -163,3 +163,47 @@ def test_bsgs_engine_with_memmap_table():
         eng = _engine(tbl2, targets, 1, 16384)
         found = eng.run()
         assert sorted(found.values()) == sorted(keys)
+
+
+def test_bucket_partitions_cover_table():
+    """Every table entry lives in exactly one partition, at the global
+    bucket row its value routes to, with the shared global permpad
+    mapping its padded position back to the right baby index."""
+    from keyhunt_tpu.search.bsgs import bucket_partitions
+    import numpy as np
+    tbl = small_table()
+    parts, permpad, shift = bucket_partitions(tbl, 4)
+    maxlen = parts[0][0].shape[1]
+    seen = set()
+    for s0, s1, base in parts:
+        for r in range(s0.shape[0]):
+            for s in range(maxlen):
+                w0, w1 = int(s0[r, s]), int(s1[r, s])
+                if w0 == 0xFFFFFFFF and w1 == 0xFFFFFFFF:
+                    continue
+                assert (w0 >> shift) == base + r
+                j = int(permpad[(base + r) * maxlen + s])
+                k = np.where(tbl.perm == j)[0][0]
+                assert int(tbl.t0[k]) == w0 and int(tbl.t1[k]) == w1
+                seen.add((w0, w1, j))
+    assert len(seen) == tbl.m
+
+
+def test_bsgs_partitioned_table_finds_keys():
+    """Over-HBM regime: 4 resident partitions, 4 sweeps, same hits as the
+    whole-table run — and ONE compile shared by all partitions."""
+    tbl = small_table()
+    keys = [5000, 12345, 777]
+    targets = [ecc.pubkey(k) for k in keys]
+    eng = _engine(tbl, targets, 1, 16384, table_partitions=4)
+    found = eng.run()
+    assert sorted(found.values()) == sorted(keys)
+
+
+def test_bsgs_partitions_reject_bad_combos():
+    import pytest as _pytest
+    tbl = small_table()
+    targets = [ecc.pubkey(5000)]
+    with _pytest.raises(ValueError, match="pick one"):
+        _engine(tbl, targets, 1, 16384, table_partitions=2,
+                scheduler="ggsb")

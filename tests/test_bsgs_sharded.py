@@ -8,7 +8,7 @@ from jax.sharding import Mesh
 
 from keyhunt_tpu.parallel.mesh import AXIS
 from keyhunt_tpu.parallel.bsgs_sharded import (
-    shard_table, make_sharded_giant_step, seed_lanes_sharded)
+    shard_buckets, make_sharded_giant_step, seed_lanes_sharded)
 from keyhunt_tpu.ref import ecc
 from keyhunt_tpu.search.bsgs import BsgsConfig, build_baby_table
 from conftest import cpu_devices
@@ -25,14 +25,30 @@ def _mesh():
     return Mesh(np.array(cpu_devices(D)), (AXIS,))
 
 
-def test_shard_table_partitions():
+def test_shard_buckets_partitions():
     tbl = build_baby_table(M, pivots=2, width=32, steps=2)
-    t0s, t1s, perm = shard_table(tbl, D)
-    assert t0s.shape == (D, M // D)
-    assert perm.shape == (M,)         # position→j stays host-side, padded
-    # shards are contiguous value ranges of the sorted table
-    flat = t0s.reshape(-1).astype(np.uint64) << 32 | t1s.reshape(-1)
-    assert (np.sort(flat) == flat).all()
+    s0, s1, permpad, shift = shard_buckets(tbl, D)
+    Dn, per, maxlen = s0.shape
+    assert Dn == D
+    assert permpad.shape == (D * per * maxlen,)   # global padded slots
+    # every table entry lands on the shard its bucket index routes to,
+    # and the global padded position maps back to the right baby index
+    ent = set()
+    for d in range(D):
+        for b in range(per):
+            for s in range(maxlen):
+                w0 = int(s0[d, b, s])
+                w1 = int(s1[d, b, s])
+                if w0 == 0xFFFFFFFF and w1 == 0xFFFFFFFF:
+                    continue
+                gb = w0 >> shift
+                assert gb == d * per + b          # routing invariant
+                gpos = gb * maxlen + s
+                j = int(permpad[gpos])
+                k = np.where(tbl.perm == j)[0][0]
+                assert int(tbl.t0[k]) == w0 and int(tbl.t1[k]) == w1
+                ent.add((w0, w1, j))
+    assert len(ent) == M                          # nothing lost or duplicated
 
 
 def test_sharded_bsgs_finds_keys():

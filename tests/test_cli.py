@@ -67,3 +67,33 @@ def test_vanity_endo_allowed():
     p = build_parser()
     args = p.parse_args(["-m", "vanity", "-v", "1Key", "-e", "-b", "256"])
     assert args.endomorphism
+
+
+def test_bsgs_rejects_endomorphism_and_stride():
+    # keyhunt.cpp:1185-1194: hard errors, not silent ignores
+    from keyhunt_tpu import cli
+    with pytest.raises(SystemExit, match="Endomorphism doesn't work"):
+        cli.main(["-m", "bsgs", "-f", "nope.txt", "-e"])
+    with pytest.raises(SystemExit, match="Stride doesn't work"):
+        cli.main(["-m", "bsgs", "-f", "nope.txt", "-I", "2"])
+
+
+def test_read_vanity_file(tmp_path, capsys):
+    # readFileVanity: skip invalid base58 with a warning (keyhunt.cpp:7010)
+    from keyhunt_tpu.io.targets import read_vanity_file
+    p = tmp_path / "v.txt"
+    p.write_text("1GoodBoy\n1BadB0y!\n\n1Trick\n")
+    assert read_vanity_file(str(p)) == ["1GoodBoy", "1Trick"]
+    assert "not valid Base58" in capsys.readouterr().out
+
+
+def test_read_vanity_reference_fixture():
+    import os
+    path = "/root/reference/tests/vanitytargets.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    from keyhunt_tpu.io.targets import read_vanity_file, load_vanity_targets
+    prefixes = read_vanity_file(path)
+    assert prefixes, "fixture should yield at least one prefix"
+    ts = load_vanity_targets(prefixes)
+    assert ts.points        # every prefix expanded to >=1 hash160 range

@@ -79,3 +79,38 @@ def test_minikeys_end_to_end():
     # scan enough candidates to pass v and flush the solve queue
     found = eng.run(max_candidates=(v - 10_000_000) + 6000)
     assert (mk, key) in found
+
+
+def test_random_mode_rerolls_base_per_block(monkeypatch):
+    """-R re-rolls a FRESH random base per block (keyhunt.cpp:3121-3170),
+    it does not increment from one random start forever."""
+    from keyhunt_tpu.io.targets import TargetSet
+    from keyhunt_tpu.ops import match as _match
+    import numpy as np
+    ts = TargetSet(mode="hash160", exact=set())
+    ts.t0, ts.t1 = _match.build_table([])
+    eng = MinikeysEngine(MinikeysConfig(filter_batch=256, solve_lanes=16),
+                         ts, rng_seed=7, quiet=True, random_mode=True)
+    bases = []
+    import keyhunt_tpu.search.minikeys as mk
+
+    real_batch = mk.batch_minikeys
+
+    def spy(base_int, count, alphabet):
+        bases.append(base_int)
+        return real_batch(base_int, count, alphabet)
+
+    monkeypatch.setattr(mk, "batch_minikeys", spy)
+    eng.run(max_candidates=4 * 256)
+    assert len(bases) >= 4
+    # consecutive bases must NOT be sequential increments of each other
+    diffs = {bases[i + 1] - bases[i] for i in range(len(bases) - 1)}
+    assert diffs != {256}
+    # and the reroll stream is reproducible from the seed
+    import random
+    want = []
+    r = random.Random(7)
+    r.randrange(58 ** 21)            # constructor's initial base draw
+    for _ in bases:
+        want.append(r.randrange(58 ** 21))
+    assert bases == want

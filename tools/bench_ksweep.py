@@ -28,7 +28,7 @@ def main():
         ns.lanes = 32768
         ns.steps = 16
         ns.seconds = 10.0
-        ns.tmpdir = "."
+        ns.tmpdir = bench.DEFAULT_TMPDIR
         ns.verbose = True
         r = bench.bench_bsgs(ns, emit=False)
         r["m_exp"] = e
