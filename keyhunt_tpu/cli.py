@@ -82,8 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for parity; device batch is --pivots*--width")
     # TPU sizing
     p.add_argument("--pivots", type=int, default=64, help="walker pivot count A")
-    p.add_argument("--width", type=int, default=2048, help="walker offset width W")
-    p.add_argument("--steps", type=int, default=8, help="inner scan steps per dispatch")
+    p.add_argument("--width", type=int, default=4096, help="walker offset width W")
+    p.add_argument("--steps", type=int, default=16, help="inner scan steps per dispatch")
     p.add_argument("--max-seconds", type=float, default=None)
     p.add_argument("--devices", type=int, default=None,
                    help="shard the range across this many devices (default: all)")

@@ -35,6 +35,20 @@ class TargetSet:
     def count(self) -> int:
         return len(self.exact)
 
+    def bucket_slabs(self, avg: int = 32):
+        """Direct-indexed bucket slabs for the device probe: (slab0, slab1,
+        shift), built lazily from the sorted arrays and cached. One row
+        gather + compare per probe — searchsorted's while-loop costs ~150x
+        more composed into search graphs (see ops.match.build_buckets)."""
+        cached = getattr(self, "_slabs", None)
+        if cached is None:
+            from ..ops import match
+            perm = np.zeros(self.t0.shape[0], np.uint32)   # positions unused
+            slab0, slab1, _, shift = match.build_buckets(
+                np.asarray(self.t0), np.asarray(self.t1), perm, avg)
+            cached = self._slabs = (slab0, slab1, shift)
+        return cached
+
 
 def _strip(line: str) -> str:
     line = line.strip()

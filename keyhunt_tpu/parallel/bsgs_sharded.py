@@ -143,7 +143,9 @@ def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
         pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
         lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
         jout = jnp.where(lanes >= 0, possel - 1, 0)
-        return px2, py2, lanes, jout, count, flags
+        # count as (1,), not rank-0: scalar fetches cost seconds on the
+        # tunneled runtime (see search.bsgs.make_giant_step_fn)
+        return px2, py2, lanes, jout, count[None], flags
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(AXIS, None, None), P(AXIS, None, None),

@@ -45,22 +45,26 @@ def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh
     return Mesh(np.array(devs), (AXIS,))
 
 
-def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
+def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
+                         shift: int | None = None):
     """Jitted SPMD step over the mesh: pivot arrays are sharded along the
     pivot axis (one block of A pivots per device); each device probes its
-    own key stripe; hit indices stay device-local in the stacked output and
-    the total count is psum'd so one scalar tells the host "anything
-    anywhere?".
+    own key stripe against the REPLICATED bucket slabs (target tables are
+    small next to the keyspace; replication beats an all-to-all here); hit
+    indices stay device-local in the stacked output and the total count is
+    psum'd so one scalar tells the host "anything anywhere?".
 
     Key layout (interleaved stripes): inner step s on device d covers keys
     k0 + ((s*D + d)*A*W + r + 1)*stride — every inner step advances ALL
     pivots by the global batch D*A*W, so after S steps device d sits
     exactly one global span (S*D*A*W) past its seed and chained calls stay
     contiguous without reseeding."""
-    raw = make_step_fn(cfg, jit=False, advance_mult=mesh.devices.size)
+    raw = make_step_fn(cfg, jit=False, advance_mult=mesh.devices.size,
+                       shift=shift)
+    nspec = P(None) if getattr(slab0, "ndim", 1) == 1 else P(None, None)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(None, AXIS), P(None, AXIS), P(None), P(None)),
+             in_specs=(P(None, AXIS), P(None, AXIS), nspec, nspec),
              out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS), P()),
              # Pallas calls inside the body don't declare varying-mesh-axes
              # metadata; vma checking (default-on since jax 0.9) rejects them.
@@ -72,14 +76,14 @@ def make_sharded_step_fn(cfg: WalkerConfig, t0, t1, mesh: Mesh):
 
     from jax.sharding import NamedSharding
     sh = NamedSharding(mesh, P(None, AXIS))
-    shr = NamedSharding(mesh, P(None))
+    shr = NamedSharding(mesh, nspec)
     # explicit in_shardings commit host/numpy inputs onto the mesh devices
     # even when they are not the process-default platform (CPU-mesh tests
     # under a TPU-default process).
     jitted = jax.jit(sharded, in_shardings=(sh, sh, shr, shr))
 
     def run(px, py):
-        return jitted(px, py, t0, t1)
+        return jitted(px, py, slab0, slab1)
 
     return run
 

@@ -402,11 +402,14 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
         w1 = frags[:, 1, :].reshape(-1)
         return px2, py2, w0, w1, flags
 
+    # count ships as shape (1,): fetching a RANK-0 device array through
+    # the tunneled runtime costs seconds per call (measured ~3.7 s vs
+    # ~40 ms for any 1-d array) — never return scalars from product steps.
     def run(px, py, slab0, slab1):
         px2, py2, w0, w1, flags = walk(px, py)
         hit, pos = match.probe_buckets(slab0, slab1, w0, w1, shift)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
-        return px2, py2, lanes, jsel, count, flags
+        return px2, py2, lanes, jsel, count[None], flags
 
     def run_ranged(px, py, slab0, slab1, base):
         # partition probe: slabs hold global bucket rows [base, base+per)
@@ -414,7 +417,7 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
         hit, pos = match.probe_buckets_ranged(slab0, slab1, w0, w1, shift,
                                               base)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
-        return px2, py2, lanes, jsel, count, flags
+        return px2, py2, lanes, jsel, count[None], flags
 
     return jax.jit(run_ranged if ranged else run)
 
@@ -704,6 +707,9 @@ class BsgsEngine:
             print("\n" + self.meter.line(), flush=True)
         return self.found
 
+    #: in-flight device dispatches (see Engine.PIPELINE — same economics)
+    PIPELINE = 3
+
     def _run_pass(self, max_seconds=None, max_keys=None):
         cfg = self.cfg
         span = self.span
@@ -712,6 +718,7 @@ class BsgsEngine:
         contiguous = cfg.scheduler in ("sequential", "ggsb", "angrygiant")
         state = None
         state_c0 = None
+        inflight = []        # [(c0, lanes, jsel, counts, flags)] futures
         for c0, _ in self._blocks():
             if len(self.found) == len(self.targets):
                 break
@@ -722,8 +729,15 @@ class BsgsEngine:
             px, py, lanes, jsel, counts, flags = self._dispatch(state)
             state = (px, py)
             state_c0 = c0 + span
-            self._decode(c0, np.asarray(lanes), np.asarray(jsel),
-                         np.asarray(counts), np.asarray(flags))
+            # async device->host copies at enqueue time (see Engine.run)
+            for a in (lanes, jsel, counts, flags):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            inflight.append((c0, lanes, jsel, counts, flags))
+            if len(inflight) > self.PIPELINE:
+                e = inflight.pop(0)
+                self._decode(e[0], np.asarray(e[1]), np.asarray(e[2]),
+                             np.asarray(e[3]), np.asarray(e[4]))
             # a partition pass covers only m/P babies per giant point:
             # count effective keys honestly (full rate shows after P sweeps)
             parts = max(self.cfg.table_partitions, 1)
@@ -741,6 +755,9 @@ class BsgsEngine:
                 break
             if max_keys is not None and self.meter.total_keys >= max_keys:
                 break
+        for e in inflight:
+            self._decode(e[0], np.asarray(e[1]), np.asarray(e[2]),
+                         np.asarray(e[3]), np.asarray(e[4]))
 
     def _global_lane(self, g: int) -> tuple[int, int]:
         """Flat probe/flag index -> (target, key-lane). Multi-device flat
@@ -758,8 +775,9 @@ class BsgsEngine:
         DB = self.n_devices * cfg.lanes       # global lanes per target
         Lg = len(self.targets) * DB           # query-space width per step
         # probe hits: top-K flat indices into the (S, Lg) query space
-        if int(counts) > 0:
-            if int(counts) >= cfg.max_hits:
+        nhits = int(np.asarray(counts).reshape(-1)[0])
+        if nhits > 0:
+            if nhits >= cfg.max_hits:
                 print(f"[W] BSGS hit buffer saturated at c0={c0:#x}; "
                       f"increase max_hits", flush=True)
             for k in range(cfg.max_hits):

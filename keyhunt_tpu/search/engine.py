@@ -58,16 +58,17 @@ class Engine:
         # (`keyhunt.cpp:2697-2838`); D == 1 keeps the single-chip path.
         self.n_devices = int(devices) if devices else 1
         import jax.numpy as _jnp
+        slab0, slab1, shift = targets.bucket_slabs()
         if self.n_devices > 1:
             from ..parallel import mesh as _pmesh
             self.mesh = _pmesh.make_mesh(self.n_devices)
             self.step_fn = _pmesh.make_sharded_step_fn(
-                cfg, targets.t0, targets.t1, self.mesh)
+                cfg, slab0, slab1, self.mesh, shift)
         else:
             self.mesh = None
-            self.step_fn = make_step_fn(cfg)
-        self._t0 = _jnp.asarray(targets.t0)
-        self._t1 = _jnp.asarray(targets.t1)
+            self.step_fn = make_step_fn(cfg, shift=shift)
+        self._t0 = _jnp.asarray(slab0)
+        self._t1 = _jnp.asarray(slab1)
         self.found_keys: set[int] = set()
         self.found_targets: set = set()   # distinct targets matched (an
         # xpoint target matches both k and N-k; stop counts targets)
@@ -295,6 +296,38 @@ class Engine:
                 yield k0
                 k0 += span
 
+    #: in-flight device dispatches before the host blocks on the oldest.
+    #: Each dispatch's hit arrays come back asynchronously; draining one
+    #: only blocks until THAT call is done, so the device queue stays full
+    #: (a synchronous loop pays a full host<->device round trip per call —
+    #: measured ~100x slower than the kernels on the tunneled runtime).
+    PIPELINE = 3
+
+    def _drain(self, k0, hits, counts):
+        cfg = self.cfg
+        hits = np.asarray(hits)
+        counts = np.asarray(counts)
+        if counts.sum() > 0:
+            for row in range(hits.shape[0]):
+                for f in hits[row]:
+                    f = int(f)
+                    if f < 0:
+                        continue
+                    variant, key = self._decode(k0, row, f)
+                    # two-sided range contract (the reference rejects
+                    # hits outside [start, end] in both directions)
+                    if self.start <= key <= self.end:
+                        e = VARIANT_ENDO_POWER[variant]
+                        if e:
+                            # hit on beta^e * X: the matching target's
+                            # key is lambda^e * (walk key), up to sign
+                            key = key * pow(ecc.LAMBDA, e, ecc.N) % ecc.N
+                        self._verify_and_record(key)
+            if int(counts.max()) >= cfg.max_hits:
+                # top-k saturated: extremely dense target region; note it
+                print(f"[W] hit buffer saturated at k0={k0:#x}; "
+                      f"increase max_hits", flush=True)
+
     def run(self, max_seconds: float | None = None, max_keys: int | None = None):
         cfg = self.cfg
         self._scan_low_region()
@@ -304,33 +337,21 @@ class Engine:
         last_k0 = None
         last_stats = time.time()
         span = self.span
+        inflight = []                  # [(k0, hits, counts)] device futures
         for k0 in self._chunks():
             if px is None or last_k0 is None or k0 != last_k0:
                 px, py = self._seed(k0)
             px, py, hits, counts = self._dispatch(px, py)
             last_k0 = k0 + span
-            hits = np.asarray(hits)
-            counts = np.asarray(counts)
-            if counts.sum() > 0:
-                for row in range(hits.shape[0]):
-                    for f in hits[row]:
-                        f = int(f)
-                        if f < 0:
-                            continue
-                        variant, key = self._decode(k0, row, f)
-                        # two-sided range contract (the reference rejects
-                        # hits outside [start, end] in both directions)
-                        if self.start <= key <= self.end:
-                            e = VARIANT_ENDO_POWER[variant]
-                            if e:
-                                # hit on beta^e * X: the matching target's
-                                # key is lambda^e * (walk key), up to sign
-                                key = key * pow(ecc.LAMBDA, e, ecc.N) % ecc.N
-                            self._verify_and_record(key)
-                if int(counts.max()) >= cfg.max_hits:
-                    # top-k saturated: extremely dense target region; note it
-                    print(f"[W] hit buffer saturated at k0={k0:#x}; "
-                          f"increase max_hits", flush=True)
+            # start the device->host copies NOW: by drain time the bytes
+            # are already local, so the drain costs no tunnel round trip
+            # (measured: ~40 ms/call synchronous fetch tax without this)
+            for a in (hits, counts):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            inflight.append((k0, hits, counts))
+            if len(inflight) > self.PIPELINE:
+                self._drain(*inflight.pop(0))
             self.meter.add(self.n_devices * cfg.keys_per_call
                            * cfg.keys_per_point)
             now = time.time()
@@ -347,6 +368,8 @@ class Engine:
                 break
             if max_keys is not None and self.meter.total_keys >= max_keys:
                 break
+        for entry in inflight:
+            self._drain(*entry)
         if not self.quiet:
             print("\n" + self.meter.line(), flush=True)
         return self.sink

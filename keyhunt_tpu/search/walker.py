@@ -104,14 +104,21 @@ def _needs_y(mode: str) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1):
+def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1,
+                 shift: int | None = None):
     """Build the device step: (px, py, t0, t1) -> (px', py', hits, counts).
 
     hits: (S, K) int32 flat indices into the (V, A, W) candidate space of
     each inner step, -1 padded; counts: (S,) total hits (detects K
-    saturation). t0/t1: sorted probe table (`ops.match`) — runtime
-    arguments, so the (expensive) compile is shared across target sets of
-    the same padded size. jit=False returns the raw traceable fn (for
+    saturation). t0/t1: probe table — runtime arguments, so the
+    (expensive) compile is shared across target sets of the same padded
+    size. With `shift` set (the product path) they are direct-indexed
+    BUCKET SLABS (ops.match.build_buckets; bucket = w >> shift) and the
+    probe is one row gather + compare. With shift=None they are the plain
+    sorted arrays probed by `match.probe` — searchsorted lowers to a
+    while-loop of gathers that costs ~150x more composed (832 ms vs 38 ms
+    per step measured at a 32-entry table on the TPU toolchain); kept only
+    for micro-tools and tests. jit=False returns the raw traceable fn (for
     shard_map composition).
 
     advance_mult: pivot advance per inner step in units of A*W*stride.
@@ -129,6 +136,15 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1):
 
     spx_b = jnp.broadcast_to(spx, (8, A))
     spy_b = jnp.broadcast_to(spy, (8, A))
+
+    if shift is None:
+        def probe(t0c, t1c, a, b):
+            return match.probe(t0c, t1c, a, b)
+    else:
+        def probe(t0c, t1c, a, b):
+            hit, _ = match.probe_buckets(t0c, t1c, a.reshape(-1),
+                                         b.reshape(-1), shift)
+            return hit.reshape(a.shape)
 
     def one_step(carry, _, t0c, t1c):
         # invariant: pivots are canonical (< p) — seeds and advance outputs
@@ -177,19 +193,19 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1):
         masks = []
         for xv in x_variants:
             if cfg.mode == "xpoint":
-                masks.append(match.probe(t0c, t1c, xv[7], xv[6]))
+                masks.append(probe(t0c, t1c, xv[7], xv[6]))
             if cfg.mode in ("compressed", "both"):
                 h02, h03 = h160.hash160_both_prefixes(xv)
                 for h in (h02, h03):
                     masks.append(vmask(h) if cfg.vanity
-                                 else match.probe(t0c, t1c, h[0], h[1]))
+                                 else probe(t0c, t1c, h[0], h[1]))
         if cfg.mode in ("uncompressed", "both"):
             h04 = h160.hash160_uncompressed(xn, yn)
             masks.append(vmask(h04) if cfg.vanity
-                         else match.probe(t0c, t1c, h04[0], h04[1]))
+                         else probe(t0c, t1c, h04[0], h04[1]))
         if cfg.mode == "eth":
             he = h160.eth_address_words(xn, yn)
-            masks.append(match.probe(t0c, t1c, he[0], he[1]))
+            masks.append(probe(t0c, t1c, he[0], he[1]))
 
         mask_flat = jnp.stack(masks).reshape(-1)          # (V*A*W,)
         hits, count = match.topk_indices(mask_flat, cfg.max_hits)

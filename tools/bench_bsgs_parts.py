@@ -36,9 +36,10 @@ def main():
     from keyhunt_tpu.ops import u256, field, match
     from keyhunt_tpu.search.bsgs import load_table
 
+    import bench
     m = int(sys.argv[1], 0) if len(sys.argv) > 1 else 1 << 26
     B = int(sys.argv[2], 0) if len(sys.argv) > 2 else 32768
-    tbl = load_table(m, directory=".", verify=False)
+    tbl = load_table(m, directory=bench.DEFAULT_TMPDIR, verify=False)
     assert tbl is not None, "run bench.py --mode bsgs first to build the table"
     t0_, t1_ = jnp.asarray(tbl.t0), jnp.asarray(tbl.t1)
     rng = np.random.default_rng(5)
@@ -65,6 +66,27 @@ def main():
     topk = jax.jit(lambda a: match.topk_with_payload(a < 0, a, 4))
     dt = timeit(lambda a: (topk(a),), (jnp.zeros(B, jnp.uint32),))
     print(f"topk(gated)      {dt*1e3:8.3f} ms", flush=True)
+
+    # the PRODUCT probe: direct-indexed bucket slabs (one gather + compare)
+    slab0, slab1, _permpad, shift = tbl.buckets()
+    s0_, s1_ = jnp.asarray(slab0), jnp.asarray(slab1)
+    pb = jax.jit(lambda s0c, s1c, a, b:
+                 match.probe_buckets(s0c, s1c, a, b, shift))
+    dt = timeit(lambda a, b: pb(s0_, s1_, a, b), (w0, w1))
+    print(f"probe_buckets    {dt*1e3:8.3f} ms  ({B/dt/1e6:.1f} M queries/s)",
+          flush=True)
+
+    # giant-step pieces at product geometry: full step vs probe-free walk
+    from keyhunt_tpu.search.bsgs import BsgsConfig, make_giant_step_fn, seed_lanes
+    from keyhunt_tpu.ref import ecc
+    S = 16
+    cfg = BsgsConfig(m=m, lanes=B, steps=S)
+    step = make_giant_step_fn(cfg, 1, shift)
+    tx, ty = ecc.pubkey((1 << 200) + 12345)
+    px0, py0 = seed_lanes(cfg, [(tx, ty)], c0=cfg.stride * cfg.lanes + 1)
+    dt = timeit(lambda px, py: step(px, py, s0_, s1_), (px0, py0), iters=10)
+    print(f"giant step FULL  {dt*1e3:8.3f} ms  "
+          f"({B*S/dt/1e6:.1f} M giant points/s)", flush=True)
     return 0
 
 
