@@ -38,8 +38,10 @@ BASELINE_BSGS_KEYS_PER_S = 15.2e12        # README.md:812-817 (k=1, 1 thread)
 def _steady_rate(step, state, seconds, pipeline=2):
     """Timed loop with a bounded async pipeline (hides dispatch latency
     without flooding the device queue). `step(*state)` must return the new
-    state tuple first and something blockable last."""
-    import jax
+    state tuple first and a SMALL array last, which is FETCHED to host —
+    block_until_ready alone returns early for pallas-call outputs on the
+    tunneled runtime and would report enqueue rate, not compute rate."""
+    import numpy as np
     calls = 0
     inflight = []
     t0 = time.time()
@@ -48,9 +50,10 @@ def _steady_rate(step, state, seconds, pipeline=2):
         state = out[:len(state)]
         inflight.append(out[-1])
         if len(inflight) > pipeline:
-            jax.block_until_ready(inflight.pop(0))
+            np.asarray(inflight.pop(0))
         calls += 1
-    jax.block_until_ready(inflight)
+    for x in inflight:
+        np.asarray(x)
     return calls, time.time() - t0
 
 
@@ -88,17 +91,21 @@ def bench_bsgs(args, emit=True):
     s0_, s1_ = jnp.asarray(slab0), jnp.asarray(slab1)
     step = make_giant_step_fn(cfg, 1, shift)
     # one unreachable target point far outside the walked window
+    import numpy as np
     tx, ty = ecc.pubkey((1 << 200) + 12345)
     px, py = seed_lanes(cfg, [(tx, ty)], c0=cfg.stride * cfg.lanes + 1)
+    z = np.zeros((8, cfg.lanes), np.uint32)
+    z[0] = 1
+    pz = jnp.asarray(z)
     t_c = time.time()
-    out = step(px, py, s0_, s1_)
+    out = step(px, py, pz, s0_, s1_)
     jax.block_until_ready(out)
     if args.verbose:
         print(f"[bench] compile+first call {time.time()-t_c:.1f}s",
               file=sys.stderr, flush=True)
 
-    fn = lambda px, py: step(px, py, s0_, s1_)      # noqa: E731
-    calls, dt = _steady_rate(fn, (px, py), args.seconds)
+    fn = lambda px, py, pz: step(px, py, pz, s0_, s1_)      # noqa: E731
+    calls, dt = _steady_rate(fn, (px, py, pz), args.seconds)
     rate = calls * cfg.keys_per_call(1) / dt
     points = calls * cfg.lanes * cfg.steps / dt
     if args.verbose:
@@ -127,18 +134,22 @@ def bench_walker(args, emit=True):
     if args.hash_impl != "auto":
         from keyhunt_tpu.ops import hash160 as _h160
         _h160.set_impl(args.hash_impl)
+    import numpy as np
     mode = args.mode if args.mode not in ("all", "bsgs") else "compressed"
     cfg = WalkerConfig(pivots=args.pivots, width=args.width,
                        steps=args.steps_walker, mode=mode,
                        endo=args.endo and mode in ("compressed", "xpoint"))
-    # one unreachable target: full probe work, no hit traffic
+    # one unreachable target, probed through the PRODUCT path (bucket
+    # slabs — the same layout Engine uses), full probe work, no hits
     t0_, t1_ = match.build_table([(0xDEADBEEF, 0x12345678)])
+    slab0, slab1, _perm, shift = match.build_buckets(
+        t0_, t1_, np.zeros(t0_.shape[0], np.uint32))
     if args.verbose:
         print(f"[bench] devices={jax.devices()} cfg={cfg}", file=sys.stderr, flush=True)
     t_setup = time.time()
-    step = make_step_fn(cfg)
+    step = make_step_fn(cfg, shift=shift)
     import jax.numpy as jnp
-    t0_, t1_ = jnp.asarray(t0_), jnp.asarray(t1_)
+    t0_, t1_ = jnp.asarray(slab0), jnp.asarray(slab1)
     px, py = seed_pivots(cfg, 1 << 65)
     out = step(px, py, t0_, t1_)
     jax.block_until_ready(out)

@@ -65,14 +65,14 @@ def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, AXIS), P(None, AXIS), nspec, nspec),
-             out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS), P()),
+             out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P()),
              # Pallas calls inside the body don't declare varying-mesh-axes
              # metadata; vma checking (default-on since jax 0.9) rejects them.
              check_vma=False)
     def sharded(px, py, t0c, t1c):
-        px2, py2, hits, counts = raw(px, py, t0c, t1c)
-        total = jax.lax.psum(counts.sum(), AXIS)
-        return px2, py2, hits, counts, total[None]
+        px2, py2, packed = raw(px, py, t0c, t1c)
+        total = jax.lax.psum(packed[:, -1].sum(), AXIS)
+        return px2, py2, packed, total[None]
 
     from jax.sharding import NamedSharding
     sh = NamedSharding(mesh, P(None, AXIS))

@@ -339,85 +339,70 @@ def bucket_partitions(tbl: BabyTable, parts: int):
 @functools.lru_cache(maxsize=None)
 def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
                        ranged: bool = False):
-    """Jitted giant walk: state (px, py) of T*B lanes; the scan advances
-    every lane by -(B*2m)*G per inner step and STACKS each step's X
-    fragments; ONE batched bucket probe over all S*L queries runs after
-    the scan.
+    """Jitted giant walk: state (X, Y, Z) of T*B JACOBIAN lanes; the fused
+    scan kernel (ops.jacwalk) advances every lane by -(B*2m)*G per inner
+    step WITHOUT any inversion, stacking each step's (X, Z); ONE deferred
+    batched inversion converts all S*L emissions to affine fragments, and
+    ONE batched bucket probe covers all queries.
 
-    Why hoisted + bucketed: `searchsorted`'s binary-search while-loop
-    costs ~0.65 ms per iteration nested in the scan (~17 ms/step) and
-    ~150x its standalone time even hoisted, on the current toolchain —
-    the bucket probe is ONE gather + compare (match.probe_buckets). The
-    slab arrays are runtime arguments so the compile is shared across
-    tables of one size class (daemon requests, k-factor reuse); `shift`
-    (the static bucket-index shift) keys the compile cache. The padded
-    position→j permutation stays on host (only consulted for rare hits).
+    Launch economics (the r3 redesign): the r2 affine walk paid a batched
+    inversion (2 kernel launches) plus ~a dozen fusions PER STEP — 19 M
+    giant points/s measured, launch-bound. The Jacobian walk is one
+    kernel per CALL plus one shared inversion, so per-call cost is nearly
+    independent of S. Probe rationale unchanged (bucket slabs, see
+    ops.match.build_buckets); slabs ride as runtime args, `shift` keys
+    the compile cache.
 
     Outputs: top-K flat hit indices into the (S, L) query space + their
-    sorted-table positions + total count, and per step up to DEGEN_SLOTS
-    degenerate-lane indices (lanes whose point equals the ±advance point
+    padded slab positions + count (1,), and per step up to DEGEN_SLOTS
+    degenerate-lane indices (lanes whose point x-equals the advance point
     — each IS a solved key, resolved analytically by the host, -1 pad)."""
+    from ..ops import jacwalk
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
     L = n_targets * B
     adv = ecc.ec_mul(B * cfg.stride)
     negadv = ecc.ec_neg(adv)
-    cx = jnp.asarray(u256.from_int(negadv[0], (1,)))
-    cy = jnp.asarray(u256.from_int(negadv[1], (1,)))
-    cxb = jnp.broadcast_to(cx, (8, L))
-    cyb = jnp.broadcast_to(cy, (8, L))
 
-    def one(carry, _):
-        px, py = carry                      # canonical (8, L)
-        frag = jnp.stack([px[7], px[6]])    # this step's probe queries
+    def walk(X, Y, Z):
+        Xo, Yo, Zo, xs, zs, dg = jacwalk.giant_scan(
+            X, Y, Z, negadv[0], negadv[1], S)
+        xa = jacwalk.to_affine_x(xs, zs)     # (8, S*L) canonical
+        w0 = xa[7]                           # step-major
+        w1 = xa[6]
+        # degenerate flags: gated top-k per step (hits are ~never)
+        def extract(m):
+            vals, idx = jax.lax.top_k(m.astype(jnp.int32), DEGEN_SLOTS)
+            return jnp.where(vals > 0, idx, -1)
+        flags = jax.lax.cond(
+            dg.sum() > 0, extract,
+            lambda m: jnp.full((S, DEGEN_SLOTS), -1, jnp.int32), dg)
+        return Xo, Yo, Zo, w0, w1, flags
 
-        # degenerate advance: P == ±C (x-equality). P == -C degenerates to
-        # doubling (select the doubling slope and keep walking); P == +C
-        # yields infinity — substitute a unit denominator so the batched
-        # inversion isn't poisoned and let the lane go garbage (its false
-        # probes are rejected by host verify). Either way the x-equality
-        # itself IS the answer (Q = (c ± B*stride)*G), so flag up to
-        # DEGEN_SLOTS lanes per step for analytic host resolution
-        # (adversarial target sets can straddle one advance stride with
-        # several targets — a single argmax slot would drop all but one).
-        x_eq = u256.eq(px, cxb)
-        y_eq = u256.eq(py, cyb)
-        same = x_eq & y_eq                  # P == -C (we add -C): doubling
-        inf_case = x_eq & (~y_eq)           # P == +C: P + (-C) = infinity
-        flags, _ = match.topk_indices(x_eq, DEGEN_SLOTS)
-        one_b = jnp.broadcast_to(field.const(1, 2), (8, L)).astype(U32)
-        den = jnp.where(same[None], field.add(py, py), field.sub(cxb, px))
-        den = jnp.where(inf_case[None], one_b, den)
-        num = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
-                        field.sub(cyb, py))
-        inv = field.batch_inv(den)
-        lam = field.mul(num, inv)
-        x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
-        y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-        return (field.norm(x2), field.norm(y2)), (frag, flags)
+    # ALL host-bound outputs pack into ONE uint32 vector: each separate
+    # fetch costs a ~14 ms tunnel round trip regardless of size, and a
+    # RANK-0 fetch costs seconds (both measured) — layout
+    # [lanes(K) | jsel(K) | count(1) | flags(S*DEGEN_SLOTS)], int32
+    # values bit-reinterpreted (see BsgsEngine._drain).
+    def _pack(lanes, jsel, count, flags):
+        return jnp.concatenate([
+            lanes.astype(jnp.uint32).reshape(-1),
+            jsel.astype(jnp.uint32).reshape(-1),
+            count.astype(jnp.uint32).reshape(1),
+            flags.astype(jnp.uint32).reshape(-1)])
 
-    def walk(px, py):
-        (px2, py2), (frags, flags) = jax.lax.scan(
-            one, (px, py), None, length=S)
-        w0 = frags[:, 0, :].reshape(-1)      # (S*L,) step-major
-        w1 = frags[:, 1, :].reshape(-1)
-        return px2, py2, w0, w1, flags
-
-    # count ships as shape (1,): fetching a RANK-0 device array through
-    # the tunneled runtime costs seconds per call (measured ~3.7 s vs
-    # ~40 ms for any 1-d array) — never return scalars from product steps.
-    def run(px, py, slab0, slab1):
-        px2, py2, w0, w1, flags = walk(px, py)
+    def run(X, Y, Z, slab0, slab1):
+        Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
         hit, pos = match.probe_buckets(slab0, slab1, w0, w1, shift)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
-        return px2, py2, lanes, jsel, count[None], flags
+        return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
-    def run_ranged(px, py, slab0, slab1, base):
+    def run_ranged(X, Y, Z, slab0, slab1, base):
         # partition probe: slabs hold global bucket rows [base, base+per)
-        px2, py2, w0, w1, flags = walk(px, py)
+        Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
         hit, pos = match.probe_buckets_ranged(slab0, slab1, w0, w1, shift,
                                               base)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
-        return px2, py2, lanes, jsel, count[None], flags
+        return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
     return jax.jit(run_ranged if ranged else run)
 
@@ -594,11 +579,32 @@ class BsgsEngine:
                 self.cfg, len(self.targets), shift)
 
     def _dispatch(self, state):
+        """One device call. Returns (new_state, payload): payload is the
+        packed uint32 vector on the single-device path (see
+        make_giant_step_fn._pack) or the (lanes, jsel, counts, flags)
+        tuple on the sharded path. Single-device state is Jacobian
+        (X, Y, Z); the sharded path still walks affine (px, py)."""
         if self._base is not None:
-            return self.step_fn(*state, self._t0, self._t1, self._base)
+            out = self.step_fn(*state, self._t0, self._t1, self._base)
+            return out[:3], out[3]
         if self.n_devices > 1:
-            return self.step_fn(*state)
-        return self.step_fn(*state, self._t0, self._t1)
+            out = self.step_fn(*state)
+            return out[:2], out[2:]
+        out = self.step_fn(*state, self._t0, self._t1)
+        return out[:3], out[3]
+
+    def _drain(self, c0, payload):
+        cfg = self.cfg
+        if isinstance(payload, tuple):        # sharded path
+            lanes, jsel, counts, flags = (np.asarray(a) for a in payload)
+        else:                                 # packed single-device vector
+            arr = np.asarray(payload)
+            K, S = cfg.max_hits, cfg.steps
+            lanes = arr[:K].view(np.int32)
+            jsel = arr[K:2 * K]
+            counts = arr[2 * K:2 * K + 1].view(np.int32)
+            flags = arr[2 * K + 1:].view(np.int32).reshape(S, DEGEN_SLOTS)
+        self._decode(c0, lanes, jsel, counts, flags)
 
     # lane-offset table: l * (2m) * G for l = 0..lanes_total-1, built once
 
@@ -630,7 +636,11 @@ class BsgsEngine:
                 .transpose(0, 2, 1, 3).reshape(8, -1)
             py = np.asarray(py).reshape(8, T, D, B) \
                 .transpose(0, 2, 1, 3).reshape(8, -1)
-        return px, py
+            return px, py
+        # single-device: Jacobian state, Z = 1
+        z = np.zeros((8, px.shape[1]), np.uint32)
+        z[0] = 1
+        return jnp.asarray(px), jnp.asarray(py), jnp.asarray(z)
 
     def _record(self, t: int, key: int):
         key %= ecc.N
@@ -726,18 +736,15 @@ class BsgsEngine:
                 state = self._seed(c0)
                 if len(self.found) == len(self.targets):
                     break
-            px, py, lanes, jsel, counts, flags = self._dispatch(state)
-            state = (px, py)
+            state, payload = self._dispatch(state)
             state_c0 = c0 + span
             # async device->host copies at enqueue time (see Engine.run)
-            for a in (lanes, jsel, counts, flags):
+            for a in (payload if isinstance(payload, tuple) else (payload,)):
                 if hasattr(a, "copy_to_host_async"):
                     a.copy_to_host_async()
-            inflight.append((c0, lanes, jsel, counts, flags))
+            inflight.append((c0, payload))
             if len(inflight) > self.PIPELINE:
-                e = inflight.pop(0)
-                self._decode(e[0], np.asarray(e[1]), np.asarray(e[2]),
-                             np.asarray(e[3]), np.asarray(e[4]))
+                self._drain(*inflight.pop(0))
             # a partition pass covers only m/P babies per giant point:
             # count effective keys honestly (full rate shows after P sweeps)
             parts = max(self.cfg.table_partitions, 1)
@@ -756,8 +763,7 @@ class BsgsEngine:
             if max_keys is not None and self.meter.total_keys >= max_keys:
                 break
         for e in inflight:
-            self._decode(e[0], np.asarray(e[1]), np.asarray(e[2]),
-                         np.asarray(e[3]), np.asarray(e[4]))
+            self._drain(*e)
 
     def _global_lane(self, g: int) -> tuple[int, int]:
         """Flat probe/flag index -> (target, key-lane). Multi-device flat

@@ -103,13 +103,15 @@ class Engine:
         return seed_pivots(self.cfg, k0)
 
     def _dispatch(self, px, py):
-        """Run one device call; returns (px', py', hits, counts) with hits
-        shaped (D*S, K) rows ordered device-major."""
+        """Run one device call; returns (px', py', packed) where packed is
+        an (D*S, K+1) int32 array of hit rows + per-row count column
+        (device-major rows) — ONE host-bound array per call, because each
+        separate fetch costs a full tunnel round trip."""
         if self.n_devices > 1:
-            px, py, hits, counts, _total = self.step_fn(px, py)
-            return px, py, hits, counts
-        px, py, hits, counts = self.step_fn(px, py, self._t0, self._t1)
-        return px, py, hits, counts
+            px, py, packed, _total = self.step_fn(px, py)
+            return px, py, packed
+        px, py, packed = self.step_fn(px, py, self._t0, self._t1)
+        return px, py, packed
 
     def _decode(self, k0: int, row: int, flat_idx: int):
         if self.n_devices > 1:
@@ -303,10 +305,11 @@ class Engine:
     #: measured ~100x slower than the kernels on the tunneled runtime).
     PIPELINE = 3
 
-    def _drain(self, k0, hits, counts):
+    def _drain(self, k0, packed):
         cfg = self.cfg
-        hits = np.asarray(hits)
-        counts = np.asarray(counts)
+        packed = np.asarray(packed)
+        hits = packed[:, :-1]
+        counts = packed[:, -1]
         if counts.sum() > 0:
             for row in range(hits.shape[0]):
                 for f in hits[row]:
@@ -341,15 +344,14 @@ class Engine:
         for k0 in self._chunks():
             if px is None or last_k0 is None or k0 != last_k0:
                 px, py = self._seed(k0)
-            px, py, hits, counts = self._dispatch(px, py)
+            px, py, packed = self._dispatch(px, py)
             last_k0 = k0 + span
-            # start the device->host copies NOW: by drain time the bytes
+            # start the device->host copy NOW: by drain time the bytes
             # are already local, so the drain costs no tunnel round trip
             # (measured: ~40 ms/call synchronous fetch tax without this)
-            for a in (hits, counts):
-                if hasattr(a, "copy_to_host_async"):
-                    a.copy_to_host_async()
-            inflight.append((k0, hits, counts))
+            if hasattr(packed, "copy_to_host_async"):
+                packed.copy_to_host_async()
+            inflight.append((k0, packed))
             if len(inflight) > self.PIPELINE:
                 self._drain(*inflight.pop(0))
             self.meter.add(self.n_devices * cfg.keys_per_call

@@ -218,7 +218,12 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1,
     def step(px, py, t0, t1):
         body = lambda carry, x: one_step(carry, x, t0, t1)   # noqa: E731
         (px2, py2), (hits, counts) = jax.lax.scan(body, (px, py), None, length=S)
-        return px2, py2, hits, counts
+        # ONE host-bound output per call: every separate fetch costs a
+        # ~14 ms tunnel round trip regardless of size (measured), so hits
+        # and counts ship as a single (S, K+1) int32 array
+        packed = jnp.concatenate(
+            [hits, counts[:, None].astype(jnp.int32)], axis=1)
+        return px2, py2, packed
 
     return jax.jit(step) if jit else step
 

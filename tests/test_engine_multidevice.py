@@ -112,3 +112,50 @@ def test_cli_xpoint_8_devices(capsys):
             os.chdir(cwd)
         assert rc == 0
         assert f"{999:064x}" in txt and f"{1400:064x}" in txt
+
+
+def test_walker_engine_8_devices_compressed_hash160():
+    """Hash-mode sharding parity (VERDICT r2 weak #5): the sharded walker
+    with the real hash160 pipeline (jnp path on the CPU mesh) must find
+    the same keys as a 1-device run. Tiny shapes: the sha256+rmd160 graph
+    is what's under test, not throughput."""
+    from keyhunt_tpu.io.targets import load_hash160_file
+    from keyhunt_tpu.ref.hashes import hash160
+    cfg = dict(pivots=2, width=8, steps=2, mode="compressed", max_hits=8)
+    plant = [90, 300, 512]
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "t.rmd")
+        with open(p, "w") as fh:
+            for k in plant:
+                fh.write(hash160(ecc.compress(ecc.pubkey(k))).hex() + "\n")
+        ts = load_hash160_file(p, is_address=False)
+        results = {}
+        for devices in (1, 8):
+            eng = Engine(WalkerConfig(**cfg), ts, 1, 640, sink=_sink(tmp),
+                         quiet=True, devices=devices)
+            eng.run()
+            results[devices] = set(eng.found_keys)
+    assert results[1] == set(plant)
+    assert results[8] == set(plant)
+
+
+def test_walker_engine_8_devices_eth():
+    """ETH (keccak) pipeline under sharding, 1-vs-8 parity."""
+    from keyhunt_tpu.io.targets import load_eth_file
+    from keyhunt_tpu.ref.hashes import eth_address
+    cfg = dict(pivots=2, width=8, steps=2, mode="eth", max_hits=8)
+    plant = [90, 300, 512]
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "t.eth")
+        with open(p, "w") as fh:
+            for k in plant:
+                fh.write(eth_address(*ecc.pubkey(k)).hex() + "\n")
+        ts = load_eth_file(p)
+        results = {}
+        for devices in (1, 8):
+            eng = Engine(WalkerConfig(**cfg), ts, 1, 640, sink=_sink(tmp),
+                         quiet=True, devices=devices)
+            eng.run()
+            results[devices] = set(eng.found_keys)
+    assert results[1] == set(plant)
+    assert results[8] == set(plant)

@@ -84,7 +84,11 @@ def main():
     step = make_giant_step_fn(cfg, 1, shift)
     tx, ty = ecc.pubkey((1 << 200) + 12345)
     px0, py0 = seed_lanes(cfg, [(tx, ty)], c0=cfg.stride * cfg.lanes + 1)
-    dt = timeit(lambda px, py: step(px, py, s0_, s1_), (px0, py0), iters=10)
+    z0 = np.zeros((8, B), np.uint32)
+    z0[0] = 1
+    z0 = jnp.asarray(z0)
+    dt = timeit(lambda px, py, pz: step(px, py, pz, s0_, s1_),
+                (px0, py0, z0), iters=10)
     print(f"giant step FULL  {dt*1e3:8.3f} ms  "
           f"({B*S/dt/1e6:.1f} M giant points/s)", flush=True)
     return 0
