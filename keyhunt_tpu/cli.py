@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="explicit path for the persisted bP/baby table")
     p.add_argument("--load-ptable", action="store_true",
                    help="require an existing table file; do not rebuild")
+    p.add_argument("--lanes", type=int, default=0,
+                   help="BSGS giant lanes per target (0 = auto-size: up to "
+                        "32768 as the range allows; tuned chip geometry)")
     p.add_argument("--table-partitions", type=int, default=0,
                    help="BSGS over-HBM regime: keep 1/N of the baby table "
                         "device-resident and sweep the range N times (the "

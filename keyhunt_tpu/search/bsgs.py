@@ -58,17 +58,39 @@ class BabyTable:
     perm: np.ndarray    # original j-1 (uint32) for each sorted slot
     depth: int = 4
 
-    def buckets(self, avg: int = 32):
+    def buckets(self, avg: int | None = None):
         """Direct-indexed bucket slabs (ops.match.build_buckets), built
         lazily from the canonical sorted arrays and cached: (slab0, slab1,
         permpad, shift). The device probe gathers one slab row per query —
-        no binary-search loop (see match.build_buckets for why)."""
+        no binary-search loop (see match.build_buckets for why).
+
+        avg picks the memory/gather trade: maxlen ~ avg + sqrt(2*avg*ln nb)
+        (Poisson tail), so padding overhead shrinks as avg grows while the
+        per-query gather row grows linearly. Small tables take avg=32
+        (overhead ~2x, tiny rows); large tables take avg=256 (overhead
+        ~1.35x — HBM bytes ARE the k-factor ceiling, SURVEY §5) at a
+        ~2.7 KB/query gather that the probe absorbs (measured r3)."""
+        if avg is None:
+            avg = 32 if self.m <= (1 << 24) else 256
         cached = getattr(self, "_buckets", None)
         if cached is None:
             cached = match.build_buckets(np.asarray(self.t0),
                                          np.asarray(self.t1),
                                          np.asarray(self.perm), avg=avg)
             self._buckets = cached
+        return cached
+
+    def device_buckets(self):
+        """(slab0_dev, slab1_dev, permpad, shift) with the slabs RESIDENT
+        on the device, cached on the table. Engines sharing one BabyTable
+        (the daemon: one resident table, many queries) must not re-upload
+        multi-GB slabs per request — the first query pays the host bucket
+        build + upload, later ones reuse both."""
+        cached = getattr(self, "_dev_buckets", None)
+        if cached is None:
+            slab0, slab1, permpad, shift = self.buckets()
+            cached = (jnp.asarray(slab0), jnp.asarray(slab1), permpad, shift)
+            self._dev_buckets = cached
         return cached
 
 
@@ -572,9 +594,10 @@ class BsgsEngine:
             self._perm = self.step_fn.perm      # padded slot space
             self._t0 = self._t1 = None
         else:
-            slab0, slab1, permpad, shift = sub.buckets()
-            self._t0, self._t1 = jnp.asarray(slab0), jnp.asarray(slab1)
-            self._perm = permpad
+            # whole-table pass: the device-resident slab cache lives on
+            # the (possibly shared) BabyTable, so daemon queries reuse
+            # one upload; ggsb sub-tables build their own slabs.
+            self._t0, self._t1, self._perm, shift = sub.device_buckets()
             self.step_fn = make_giant_step_fn(
                 self.cfg, len(self.targets), shift)
 
@@ -867,7 +890,15 @@ def run_bsgs_cli(args) -> int:
     scheduler = args.bsgs_mode
     if getattr(args, "bsgs_block_count", 0) or getattr(args, "bsgs_block_size", 0):
         scheduler = "ggsb"                 # --bsgs-block-* implies -B ggsb
-    cfg = BsgsConfig(m=m, scheduler=scheduler,
+    # lane auto-sizing: the tuned chip geometry is 32768 lanes x 16 steps
+    # (ground-truthed r3), but a small range should not build lanes it can
+    # never use — size to cover the range in one dispatch, capped.
+    steps = max(int(getattr(args, "steps", 16) or 16), 1)
+    lanes = int(getattr(args, "lanes", 0) or 0)
+    if lanes <= 0:
+        want = (end - start) // (2 * m * steps) + 1
+        lanes = max(256, min(32768, 1 << (want - 1).bit_length()))
+    cfg = BsgsConfig(m=m, lanes=lanes, steps=steps, scheduler=scheduler,
                      block_count=getattr(args, "bsgs_block_count", 0),
                      block_size=getattr(args, "bsgs_block_size", 0),
                      table_partitions=getattr(args, "table_partitions", 0))

@@ -192,17 +192,20 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--devices", type=int, default=None,
                     help="shard table+lanes across this many devices")
+    ap.add_argument("--tmpdir", default=".",
+                    help="directory for persisted baby tables (-S)")
     args = ap.parse_args(argv)
     runtime.setup()
     n_value = int(args.nvalue, 16) if args.nvalue else None
     m = derive_m(n_value, args.kfactor)
     tbl = None
     if args.save:
-        tbl = load_table(m, verify=not args.skip_checksum)
+        tbl = load_table(m, directory=args.tmpdir,
+                         verify=not args.skip_checksum)
     if tbl is None:
         tbl = build_baby_table(m, progress=True)
         if args.save:
-            save_table(tbl)
+            save_table(tbl, directory=args.tmpdir)
     srv = BsgsdServer(tbl, args.ip, args.port, lanes=args.lanes,
                       steps=args.steps, quiet=False, devices=args.devices)
     srv.serve_forever()
