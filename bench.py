@@ -99,7 +99,12 @@ def bench_bsgs(args, emit=True):
     pz = jnp.asarray(z)
     t_c = time.time()
     out = step(px, py, pz, s0_, s1_)
-    jax.block_until_ready(out)
+    # force REAL completion with a host fetch: block_until_ready returns
+    # early for pallas outputs on the tunneled runtime AND leaves the
+    # stream in a state where later enqueues stall ~4.5 s each (measured:
+    # 3 calls vs 319 calls per 8 s window with/without the forced fetch)
+    import numpy as _np
+    _np.asarray(out[-1])
     if args.verbose:
         print(f"[bench] compile+first call {time.time()-t_c:.1f}s",
               file=sys.stderr, flush=True)
@@ -152,7 +157,7 @@ def bench_walker(args, emit=True):
     t0_, t1_ = jnp.asarray(slab0), jnp.asarray(slab1)
     px, py = seed_pivots(cfg, 1 << 65)
     out = step(px, py, t0_, t1_)
-    jax.block_until_ready(out)
+    np.asarray(out[-1])       # force REAL completion (see bench_bsgs note)
     if args.verbose:
         print(f"[bench] compile+first call {time.time()-t_setup:.1f}s",
               file=sys.stderr, flush=True)

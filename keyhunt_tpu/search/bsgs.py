@@ -66,10 +66,11 @@ class BabyTable:
 
         avg picks the memory/gather trade: maxlen ~ avg + sqrt(2*avg*ln nb)
         (Poisson tail), so padding overhead shrinks as avg grows while the
-        per-query gather row grows linearly. Small tables take avg=32
-        (overhead ~2x, tiny rows); large tables take avg=256 (overhead
-        ~1.35x — HBM bytes ARE the k-factor ceiling, SURVEY §5) at a
-        ~2.7 KB/query gather that the probe absorbs (measured r3)."""
+        per-query gather row grows linearly. Measured at m=2^28 on the
+        chip: avg=256 beats avg=32 on BOTH axes (16.9 vs 14.6 M pts/s,
+        2.6 vs 4.0 GiB slabs) — HBM bytes ARE the k-factor ceiling
+        (SURVEY §5), so big tables take 256; small tables keep 32 (tiny
+        rows, compile reuse across the test fleet)."""
         if avg is None:
             avg = 32 if self.m <= (1 << 24) else 256
         cached = getattr(self, "_buckets", None)
