@@ -313,14 +313,15 @@ def sqr(a, interpret: bool = False):
 # 46 ms for one batch inversion (measured, B = 2^18). Folding the whole
 # tree into kernels pays the launch cost twice:
 #   K1  per tile: in-VMEM product tree over the tile's sublane rows ->
-#       one (8, 1, 128) "mini-root" row per tile (lane columns stay
-#       independent subtrees throughout).
+#       one (8, rr, 128) "mini-root" block per tile (lane columns stay
+#       independent subtrees throughout), PLUS the intermediate level
+#       products parked in HBM for K2 (so K2 never re-multiplies the tree).
 #   K2  grid step 0: tree-reduce all mini-roots, ONE Fermat inversion
-#       (fori_loop over the fixed exponent bits, ~510 in-VMEM muls),
-#       down-sweep to per-tile root inverses kept in VMEM scratch
-#       (scratch persists across the sequential grid). Every step: rebuild
-#       its tile's tree in VMEM and down-sweep from its root inverse.
-# Total: ~4 mul-equivalents of VMEM compute + 2 launches, vs 3 muls +
+#       (secp256k1 addition chain, 255 sqr + 15 mul in-VMEM), down-sweep
+#       to per-tile root inverses kept in VMEM scratch (scratch persists
+#       across the sequential grid). Every step: reload its tile's stored
+#       levels and down-sweep from its root inverse.
+# Total: ~3 mul-equivalents of VMEM compute + 2 launches, vs 3 muls +
 # ~100 launches for the value-level tree.
 #
 # The reference's equivalent is IntGroup::ModInv (one DRS62 xgcd + 3(n-1)
@@ -329,8 +330,37 @@ def sqr(a, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 P_INT = 2**256 - 2**32 - 977
-#: exponent bits of p-2 after the leading 1 (MSB-first square-and-multiply)
-_PM2_BITS = np.array([int(c) for c in bin(P_INT - 2)[3:]], dtype=np.int32)
+
+
+def _inv_chain(x):
+    """x^(p-2) via the standard secp256k1 addition chain: 255 squarings +
+    15 multiplies (the reference's Fermat path uses the same block
+    structure, IntMod.cpp ModInv comments) — vs 510 sequential muls for
+    bitwise square-and-multiply. The root inversion runs on one tiny
+    (8, 1, 128) block where every op is pure latency, so halving the
+    sequential op count halves its wall-clock. Squaring runs stay
+    fori_loops to keep Mosaic compile time bounded."""
+    def sqr_n(v, n):
+        if n == 1:
+            return _mul_mod_p(v, v)
+        return jax.lax.fori_loop(0, n, lambda i, a: _mul_mod_p(a, a), v)
+
+    m = _mul_mod_p
+    x2 = m(sqr_n(x, 1), x)
+    x3 = m(sqr_n(x2, 1), x)
+    x6 = m(sqr_n(x3, 3), x3)
+    x9 = m(sqr_n(x6, 3), x3)
+    x11 = m(sqr_n(x9, 2), x2)
+    x22 = m(sqr_n(x11, 11), x11)
+    x44 = m(sqr_n(x22, 22), x22)
+    x88 = m(sqr_n(x44, 44), x44)
+    x176 = m(sqr_n(x88, 88), x88)
+    x220 = m(sqr_n(x176, 44), x44)
+    x223 = m(sqr_n(x220, 3), x3)
+    t = m(sqr_n(x223, 23), x22)
+    t = m(sqr_n(t, 5), x)
+    t = m(sqr_n(t, 3), x2)
+    return m(sqr_n(t, 2), x)
 
 
 #: tree leaves per mini-root row block: Mosaic requires block sublane dims
@@ -368,12 +398,30 @@ def _binv_calls(nchunks: int, ntiles: int, tile: int, interpret: bool):
     rows = tile // 128
     rr = min(_ROOT_ROWS, rows)
     gr = ntiles * rr               # root rows per chunk
+    #: per-tile level products parked for the down sweep: inputs of levels
+    #: 1..deepest are rows/2 + rows/4 + ... + 2*rr = rows - 2*rr sublane
+    #: rows (the deepest product is the emitted mini-root). Persisting them
+    #: costs one extra HBM write+read of < the input size; it saves the
+    #: down kernel a FULL tile-tree rebuild — 1 of the 4 mul-equivalents
+    #: per element the fused inversion used to pay.
+    lvl_rows = rows - 2 * rr if rows > rr else 0
 
-    def up_kernel(x_ref, root_ref):
-        _, root = _tree_up(x_ref[:], rr)
+    def up_kernel(x_ref, root_ref, *lvl_out):
+        levels, root = _tree_up(x_ref[:], rr)
         root_ref[:] = root
+        if lvl_rows:
+            off = 0
+            for a, b in levels[1:]:
+                h = a.shape[1]
+                lvl_out[0][:, off:off + h, :] = a
+                lvl_out[0][:, off + h:off + 2 * h, :] = b
+                off += 2 * h
 
-    def down_kernel(bits_ref, x_ref, roots_ref, out_ref, rinv_ref, lvl_ref):
+    def down_kernel(x_ref, roots_ref, *rest):
+        if lvl_rows:
+            lvlin_ref, out_ref, rinv_ref, lvl_ref = rest
+        else:
+            (out_ref, rinv_ref, lvl_ref), lvlin_ref = rest, None
         # grid is (chunk, tile): each chunk is an independent inversion
         # batch with its own Fermat; its global phase runs at tile 0 and
         # parks per-tile root inverses in scratch for the chunk's tiles
@@ -393,14 +441,7 @@ def _binv_calls(nchunks: int, ntiles: int, tile: int, interpret: bool):
                 offs.append((src_off, off, r))
                 src_off, off, r = off, off + h, h
 
-            base = lvl_ref[:, pl.ds(src_off, 1), :]
-
-            def body(i, rv):
-                r2 = _mul_mod_p(rv, rv)
-                rm = _mul_mod_p(r2, base)
-                return jnp.where(bits_ref[i] != 0, rm, r2)
-
-            inv = jax.lax.fori_loop(0, _PM2_BITS.shape[0], body, base)
+            inv = _inv_chain(lvl_ref[:, pl.ds(src_off, 1), :])
             for s_off, _, r in reversed(offs):
                 h = r // 2
                 src = roots_ref[:] if s_off < 0 else \
@@ -411,33 +452,59 @@ def _binv_calls(nchunks: int, ntiles: int, tile: int, interpret: bool):
             rinv_ref[:] = inv
 
         j = pl.program_id(1)
-        levels, _ = _tree_up(x_ref[:], rr)
         inv = rinv_ref[:, pl.ds(j * rr, rr), :]
+        if lvl_rows:
+            # reconstruct the tile's tree from the UP kernel's stored level
+            # products instead of re-multiplying it
+            x = x_ref[:]
+            levels = [(x[:, : rows // 2], x[:, rows // 2:])]
+            r, off = rows // 2, 0
+            while r > rr:
+                h = r // 2
+                seg = lvlin_ref[:, off:off + r, :]
+                levels.append((seg[:, :h], seg[:, h:]))
+                off += r
+                r = h
+        else:
+            levels, _ = _tree_up(x_ref[:], rr)
         out_ref[:] = _tree_down(inv, levels)
 
     x_spec2 = pl.BlockSpec((8, rows, 128), lambda i, j: (0, i * ntiles + j, 0),
                            memory_space=pltpu.VMEM)
+    lvl_spec1 = pl.BlockSpec((8, lvl_rows, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    lvl_spec2 = pl.BlockSpec((8, lvl_rows, 128),
+                             lambda i, j: (0, i * ntiles + j, 0),
+                             memory_space=pltpu.VMEM)
+    up_out = [jax.ShapeDtypeStruct((8, nchunks * gr, 128), jnp.uint32)]
+    up_out_specs = [pl.BlockSpec((8, rr, 128), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)]
+    if lvl_rows:
+        up_out.append(jax.ShapeDtypeStruct(
+            (8, nchunks * ntiles * lvl_rows, 128), jnp.uint32))
+        up_out_specs.append(lvl_spec1)
     up = pl.pallas_call(
         up_kernel,
-        out_shape=jax.ShapeDtypeStruct((8, nchunks * gr, 128), jnp.uint32),
+        out_shape=up_out,
         grid=(nchunks * ntiles,),
         in_specs=[pl.BlockSpec((8, rows, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, rr, 128), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=up_out_specs,
         interpret=interpret,
     )
+    down_in = [
+        x_spec2,                                          # x tile
+        pl.BlockSpec((8, gr, 128), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM),            # chunk roots
+    ]
+    if lvl_rows:
+        down_in.append(lvl_spec2)                         # stored levels
     down = pl.pallas_call(
         down_kernel,
         out_shape=jax.ShapeDtypeStruct((8, nchunks * ntiles * rows, 128),
                                        jnp.uint32),
         grid=(nchunks, ntiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # bits
-            x_spec2,                                          # x tile
-            pl.BlockSpec((8, gr, 128), lambda i, j: (0, i, 0),
-                         memory_space=pltpu.VMEM),            # chunk roots
-        ],
+        in_specs=down_in,
         out_specs=x_spec2,
         scratch_shapes=[pltpu.VMEM((8, gr, 128), jnp.uint32),
                         pltpu.VMEM((8, gr, 128), jnp.uint32)],
@@ -475,7 +542,6 @@ def batch_inv(x, tile: int | None = None, interpret: bool = False):
         x = jnp.concatenate([x, pad], axis=1)
     up, down = _binv_calls(nchunks, ntiles, tile, interpret)
     x3 = x.reshape(8, total // 128, 128)
-    roots = up(x3)
-    bits = jnp.asarray(_PM2_BITS)
-    inv3 = down(bits, x3, roots)
+    ups = up(x3)
+    inv3 = down(x3, *ups)
     return inv3.reshape(8, total)[:, :B]

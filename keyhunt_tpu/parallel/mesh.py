@@ -54,10 +54,13 @@ def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
     indices stay device-local in the stacked output and the total count is
     psum'd so one scalar tells the host "anything anywhere?".
 
-    Key layout (interleaved stripes): inner step s on device d covers keys
-    k0 + ((s*D + d)*A*W + r + 1)*stride — every inner step advances ALL
-    pivots by the global batch D*A*W, so after S steps device d sits
-    exactly one global span (S*D*A*W) past its seed and chained calls stay
+    Key layout (interleaved lanes, see search.walker): device d holds
+    global pivots g = d*A..d*A+A-1, the offset table is strided by the
+    global pivot count D*A, and inner step s covers keys
+    k0 + (s*D*A*W + (j+1)*D*A + g + 1 - D*A)*stride. Every inner step
+    advances ALL pivots by the global batch D*A*W (the advance point is
+    the walker's own last offset column — free), so after S steps device d
+    sits exactly one global span past its seed and chained calls stay
     contiguous without reseeding."""
     raw = make_step_fn(cfg, jit=False, advance_mult=mesh.devices.size,
                        shift=shift)
@@ -89,14 +92,11 @@ def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
 
 
 def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):
-    """Host: (8, n*A) pivot arrays; device d's pivot a sits at key
-    k0 + (d*A*W + a*W)*stride (interleaved-stripe layout — see
+    """Host: (8, D*A) pivot arrays; global pivot g = d*A + a sits at key
+    k0 + (g + 1 - D*A)*stride (interleaved-lane layout — see
     make_sharded_step_fn)."""
-    block = cfg.batch * cfg.stride          # A*W*stride keys per stripe
-    keys = []
-    for d in range(n_devices):
-        for a in range(cfg.pivots):
-            keys.append(k0 + d * block + a * cfg.width * cfg.stride)
+    ntot = n_devices * cfg.pivots
+    keys = [k0 + (g + 1 - ntot) * cfg.stride for g in range(ntot)]
     x, y = curve.points_for_keys(keys)
     return x, y              # numpy: jit in_shardings place them on the mesh
 
@@ -104,9 +104,14 @@ def seed_pivots_sharded(cfg: WalkerConfig, k0: int, n_devices: int):
 def decode_sharded_hit(cfg: WalkerConfig, k0: int, device: int, step_idx: int,
                        flat_idx: int, n_devices: int):
     """Map a (device, step, flat) hit to (variant, key): the candidate
-    space is (V, A, W) per device per step, stripe (s*D + d)."""
+    space is (V, A, W) per device per step; global pivot g = d*A + a."""
     aw = cfg.batch
+    A, W = cfg.pivots, cfg.width
+    ntot = n_devices * A
     v = flat_idx // aw
     r = flat_idx % aw
-    key = k0 + ((step_idx * n_devices + device) * aw + r + 1) * cfg.stride
+    a, j = divmod(r, W)
+    g = device * A + a
+    key = k0 + (step_idx * n_devices * aw + (j + 1) * ntot
+                + g + 1 - ntot) * cfg.stride
     return cfg.variants[v], key

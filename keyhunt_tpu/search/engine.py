@@ -72,23 +72,26 @@ class Engine:
         self.found_keys: set[int] = set()
         self.found_targets: set = set()   # distinct targets matched (an
         # xpoint target matches both k and N-k; stop counts targets)
-        # walker needs pivot keys > W*stride (see walker.py); the low region
-        # is covered exactly on host. walker_base stays on the stride grid
-        # (keys are start + i*stride, as with the reference's -I flag).
-        self.low_bound = cfg.width * cfg.stride + 1
+        # walker pivot keys are k0 + (g + 1 - G)*stride for G = D*A global
+        # pivots and offsets reach G*W*stride (interleaved geometry,
+        # walker.py): a pivot key equal to an offset key poisons the batched
+        # inversion with a zero denominator, so k0 must be STRICTLY greater
+        # than (G*W + G - 1)*stride. The low region is covered exactly on
+        # host (native batch). walker_base stays on the stride grid (keys
+        # are start + i*stride, as with the reference's -I flag).
+        npiv = self.n_devices * cfg.pivots
+        self.low_bound = (npiv * (cfg.width + 1) - 1) * cfg.stride + 1
         base = start - cfg.stride
-        # pivot keys are k0 + a*W*stride; k0 must be STRICTLY greater than
-        # W*stride or offset key j*stride == pivot key poisons the batched
-        # inversion with a zero denominator (P == Q is not an addition).
         deficit = self.low_bound - base
         if deficit > 0:
             base += ((deficit + cfg.stride - 1) // cfg.stride) * cfg.stride
         self.walker_base = base
         # symmetric hazard at the top of the keyspace: pivot == -offset
-        # (key ~ N - j*stride). Cap the walker below it; the sliver above is
-        # covered on host like the low region.
-        self.high_bound = ecc.N - (self.n_devices * cfg.pivots + 2) \
-            * cfg.width * cfg.stride
+        # (key ~ N - j*G*stride). The last call's points (and hence pivots)
+        # reach end_capped + span, so cap a full span + offset reach below
+        # N; the sliver above is covered on host like the low region.
+        self.high_bound = ecc.N - self.span \
+            - (npiv * (cfg.width + 1) + 2) * cfg.stride
         self.end_capped = min(end, self.high_bound)
 
     # span of one device dispatch in keys (all devices together)

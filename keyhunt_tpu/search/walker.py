@@ -2,20 +2,31 @@
 group-of-1024 thread loop (`thread_process`, `keyhunt.cpp:3265-3861`).
 
 Geometry: a device step materialises A*W points at once from A "pivot"
-points and a W-wide offset table of j*(stride*G):
+points and a W-wide offset table strided by the FULL pivot count
+(D = advance_mult devices, G = D*A global pivots):
 
-    point[a, j] = pivot_a + (j+1) * (stride*G),   key = k0 + (a*W + j + 1)*stride
+    point[g, j] = pivot_g + (j+1) * (G*stride*G1)     (G1 = generator)
+    pivot_g key = k0 + (g + 1 - G)*stride
+    => key[g, j] = k0 + ((j+1)*G + g + 1 - G)*stride
 
-All A*W slope denominators PLUS the A pivot-advance denominators are
-inverted in ONE `field.batch_inv` (the reference amortises one ModInv per
-1024 points; here it is one Fermat inversion per A*W+A points). Pivots then
-advance by A*W*stride*G and the scan repeats S times per device call, so
-one dispatch covers S*A*W keys.
+so one inner step covers exactly [k0+stride, k0+G*W*stride] and — the
+point of the interleaved layout — the NEXT pivot (advance by G*W*stride)
+is exactly the last offset column, point[g, W-1]. The pivot advance
+therefore costs nothing: no extra slope denominators, no separate
+lambda/x3/y3 chain, and the batched inversion is over exactly A*W
+elements (a power of two — the old +A tail spilled `field.batch_inv`
+past a tile-chunk boundary and padded the kernel to 2x the work).
+
+All A*W slope denominators are inverted in ONE `field.batch_inv` (the
+reference amortises one ModInv per 1024 points; here it is one Fermat
+inversion per A*W points). The scan repeats S times per device call, so
+one dispatch covers S*G*W keys across all devices.
 
 Constraint inherited from the group trick: pivot keys must never coincide
 with ±offset keys (slope denominator would be 0 — the reference avoids the
 same case by centering groups past CPU_GRP_SIZE/2, `keyhunt.cpp:3352`).
-The engine guarantees k0 >= W*stride + 1 and covers smaller keys on host.
+The engine guarantees k0 > (G*W + G - 1)*stride and covers smaller keys on
+host; the symmetric keyspace-top hazard is capped the same way.
 """
 
 from __future__ import annotations
@@ -27,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import u256, field, curve, match, hash160 as h160
+from ..ops import field, curve, match, hash160 as h160
 
 U32 = jnp.uint32
 
@@ -121,21 +132,17 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1,
     for micro-tools and tests. jit=False returns the raw traceable fn (for
     shard_map composition).
 
-    advance_mult: pivot advance per inner step in units of A*W*stride.
-    The D-device sharded walker passes D so the devices walk interleaved
-    stripes — device d's pivots land exactly one global span ahead after
-    S steps, keeping chained calls contiguous without reseeding (same
-    convention as the sharded BSGS lanes, parallel/bsgs_sharded.py).
+    advance_mult: the device count D of the sharded walker. It scales the
+    offset-table stride to G = D*A global pivots so the devices walk
+    interleaved lanes — every device's pivots land exactly one global span
+    (D*A*W) ahead after each inner step, keeping chained calls contiguous
+    without reseeding (same convention as the sharded BSGS lanes,
+    parallel/bsgs_sharded.py).
     """
     A, W, S = cfg.pivots, cfg.width, cfg.steps
-    gtx, gty = curve.offset_table_strided(W, cfg.stride)
-    spx, spy = curve.point_const(advance_mult * A * W * cfg.stride)
+    gtx, gty = curve.offset_table_strided(W, advance_mult * A * cfg.stride)
     gtx, gty = jnp.asarray(gtx), jnp.asarray(gty)
-    spx, spy = jnp.asarray(spx), jnp.asarray(spy)
     want_y = _needs_y(cfg.mode)
-
-    spx_b = jnp.broadcast_to(spx, (8, A))
-    spy_b = jnp.broadcast_to(spy, (8, A))
 
     if shift is None:
         def probe(t0c, t1c, a, b):
@@ -147,22 +154,11 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1,
             return hit.reshape(a.shape)
 
     def one_step(carry, _, t0c, t1c):
-        # invariant: pivots are canonical (< p) — seeds and advance outputs
-        # are normalized, so exact equality checks below are sound.
         px, py = carry                                   # (8, A)
         dx_main = field.sub(gtx[:, None, :], px[:, :, None])   # (8, A, W)
-        # pivot advance: P + SP degenerates to doubling when P == SP (pivot
-        # key == A*W*stride — possible for aligned range starts). Select the
-        # doubling slope num/den for those lanes; P == -SP (infinity) is
-        # excluded by the engine's keyspace-top cap.
-        same = u256.eq(px, spx_b) & u256.eq(py, spy_b)
-        dx_step = jnp.where(same[None], field.add(py, py), field.sub(spx, px))
-        num_step = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
-                             field.sub(spy, py))
-        alldx = jnp.concatenate([dx_main.reshape(8, A * W), dx_step], axis=1)
-        inv = field.batch_inv(alldx)
-        inv_main = inv[:, : A * W].reshape(8, A, W)
-        inv_step = inv[:, A * W:]
+        # the engine's key bounds guarantee no pivot == ±offset, so every
+        # denominator is nonzero and no doubling/infinity select is needed
+        inv_main = field.batch_inv(dx_main.reshape(8, A * W)).reshape(8, A, W)
 
         pxb, pyb = px[:, :, None], py[:, :, None]
         qxb, qyb = gtx[:, None, :], gty[:, None, :]
@@ -210,10 +206,17 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1,
         mask_flat = jnp.stack(masks).reshape(-1)          # (V*A*W,)
         hits, count = match.topk_indices(mask_flat, cfg.max_hits)
 
-        lam = field.mul(num_step, inv_step)
-        x2 = field.sub(field.sub(field.sqr(lam), px), spx)
-        y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-        return (field.norm(x2), field.norm(y2)), (hits, count)
+        # pivot advance is FREE: pivot + G*W*stride*G1 is exactly the last
+        # offset column. Its Y (not needed for the X-only modes' probes) is
+        # one extra (8, A)-sized lambda reconstruction from the shared inv.
+        px2 = xn[:, :, -1]
+        if want_y:
+            py2 = yn[:, :, -1]
+        else:
+            lam_l = field.mul(field.sub(gty[:, -1:], py), inv_main[:, :, -1])
+            py2 = field.norm(
+                field.sub(field.mul(lam_l, field.sub(px, x3[:, :, -1])), py))
+        return (px2, py2), (hits, count)
 
     def step(px, py, t0, t1):
         body = lambda carry, x: one_step(carry, x, t0, t1)   # noqa: E731
@@ -230,16 +233,21 @@ def make_step_fn(cfg: WalkerConfig, jit: bool = True, advance_mult: int = 1,
 
 def decode_hit(cfg: WalkerConfig, k0: int, step_idx: int, flat_idx: int):
     """Map a device hit back to (variant, key). Inverse of the walker's
-    (V, A, W) flattening; key = k0 + (a*W + j + 1)*stride."""
+    (V, A, W) flattening; key = k0 + (s*A*W + (j+1)*A + a + 1 - A)*stride
+    (interleaved geometry — see module docstring)."""
     aw = cfg.batch
+    A, W = cfg.pivots, cfg.width
     v = flat_idx // aw
     r = flat_idx % aw
-    key = k0 + (step_idx * aw + r + 1) * cfg.stride
+    a, j = divmod(r, W)
+    key = k0 + (step_idx * aw + (j + 1) * A + a + 1 - A) * cfg.stride
     return cfg.variants[v], key
 
 
 def seed_pivots(cfg: WalkerConfig, k0: int):
-    """Host: pivot points for base key k0 — pivot_a = (k0 + a*W*stride)*G."""
-    keys = [k0 + a * cfg.width * cfg.stride for a in range(cfg.pivots)]
+    """Host: pivot points for base key k0 — pivot_a key =
+    k0 + (a + 1 - A)*stride (the A keys immediately at/below k0)."""
+    A = cfg.pivots
+    keys = [k0 + (a + 1 - A) * cfg.stride for a in range(A)]
     x, y = curve.points_for_keys(keys)
     return jnp.asarray(x), jnp.asarray(y)

@@ -29,7 +29,9 @@ def _mesh(n):
 def test_sharded_walker_8_devices():
     cfg = WalkerConfig(pivots=2, width=32, steps=2, mode="xpoint", max_hits=4)
     n = 8
-    k0 = 64
+    # k0 must clear the interleaved-geometry floor: (G*W + G - 1)*stride
+    # for G = n*A = 16 global pivots (see walker.py)
+    k0 = 1024
     span = cfg.keys_per_call      # 128 keys per device
     plant = [k0 + 0 * span + 5, k0 + 3 * span + 77, k0 + 7 * span + 128]
     pairs = []
@@ -62,16 +64,15 @@ def test_sharded_pivot_state_advances():
     n = 8
     t0, t1 = match.build_table([])
     step = make_sharded_step_fn(cfg, t0, t1, _mesh(n))
-    px, py = seed_pivots_sharded(cfg, 100, n)
+    k0 = 1024   # past the (G*W + G - 1) floor for G = 16 global pivots
+    px, py = seed_pivots_sharded(cfg, k0, n)
     px2, py2, hits, counts, total = step(px, py)
     assert int(np.asarray(total)[0]) == 0
     from keyhunt_tpu.ops import u256
     got = u256.to_ints(np.asarray(px2))
-    # interleaved stripes: every inner step advances ALL pivots by the
-    # global batch n*A*W, so device d ends one global span past its seed
-    exp = []
-    for d in range(n):
-        for a in range(cfg.pivots):
-            exp.append(ecc.pubkey(100 + d * cfg.batch + a * cfg.width
-                                  + cfg.steps * n * cfg.batch)[0])
+    # interleaved lanes: every inner step advances ALL pivots by the
+    # global batch n*A*W, so pivot g ends one global span past its seed
+    ntot = n * cfg.pivots
+    exp = [ecc.pubkey(k0 + (g + 1 - ntot) + cfg.steps * n * cfg.batch)[0]
+           for g in range(ntot)]
     assert got == exp

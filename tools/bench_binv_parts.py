@@ -49,14 +49,13 @@ def main():
     nchunks = -(-B // chunk)
     up, down = pf._binv_calls(nchunks, ntiles, tile, False)
     x3 = x.reshape(8, B // 128, 128)
-    bits = jnp.asarray(pf._PM2_BITS)
 
     up_j = jax.jit(lambda v: up(v))
-    roots = up_j(x3)
-    down_j = jax.jit(lambda v, r: down(bits, v, r))
+    ups = up_j(x3)
+    down_j = jax.jit(lambda v, *u: down(v, *u))
 
-    timeit("up kernel (tree to mini-roots)", lambda: up_j(x3))
-    timeit("down kernel (fermat+downsweep)", lambda: down_j(x3, roots))
+    timeit("up kernel (tree+levels out)", lambda: up_j(x3))
+    timeit("down kernel (fermat+downsweep)", lambda: down_j(x3, *ups))
     timeit("full batch_inv", lambda: pf.batch_inv(x))
     timeit("one mul (8,2^18)", lambda: pf.mul(x, x))
     timeit("one sqr (8,2^18)", lambda: pf.sqr(x))

@@ -53,28 +53,16 @@ def main():
 
     A, W = 64, 4096
     cfg = WalkerConfig(pivots=A, width=W, steps=1, mode="compressed")
-    gtx, gty = curve.offset_table_strided(W, 1)
-    spx, spy = curve.point_const(A * W)
+    gtx, gty = curve.offset_table_strided(W, A)
     gtx, gty = jnp.asarray(gtx), jnp.asarray(gty)
-    spx, spy = jnp.asarray(spx), jnp.asarray(spy)
     px, py = seed_pivots(cfg, 1 << 65)
     t0_, t1_ = match.build_table([(0xDEADBEEF, 0x12345678)])
     t0_, t1_ = jnp.asarray(t0_), jnp.asarray(t1_)
-    spx_b = jnp.broadcast_to(spx, (8, A))
-    spy_b = jnp.broadcast_to(spy, (8, A))
     print(f"devices={jax.devices()} A={A} W={W}", flush=True)
 
     def dx_inv(px, py):
         # output feeds back as next px: keeps chained calls dependent so
         # the async runtime can't overlap iterations
-        dx_main = field.sub(gtx[:, None, :], px[:, :, None])
-        same = u256.eq(px, spx_b) & u256.eq(py, spy_b)
-        dx_step = jnp.where(same[None], field.add(py, py), field.sub(spx, px))
-        alldx = jnp.concatenate([dx_main.reshape(8, A * W), dx_step], axis=1)
-        inv = field.batch_inv(alldx)
-        return inv[:, :A], py
-
-    def dx_inv_main_only(px, py):
         dx_main = field.sub(gtx[:, None, :], px[:, :, None])
         inv = field.batch_inv(dx_main.reshape(8, A * W))
         return inv[:, :A], py
@@ -85,22 +73,16 @@ def main():
 
     def through_x(px, py):
         dx_main = field.sub(gtx[:, None, :], px[:, :, None])
-        same = u256.eq(px, spx_b) & u256.eq(py, spy_b)
-        dx_step = jnp.where(same[None], field.add(py, py), field.sub(spx, px))
-        num_step = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
-                             field.sub(spy, py))
-        alldx = jnp.concatenate([dx_main.reshape(8, A * W), dx_step], axis=1)
-        inv = field.batch_inv(alldx)
-        inv_main = inv[:, : A * W].reshape(8, A, W)
-        inv_step = inv[:, A * W:]
+        inv_main = field.batch_inv(dx_main.reshape(8, A * W)).reshape(8, A, W)
         x3 = curve.add_with_inv(px[:, :, None], py[:, :, None],
                                 gtx[:, None, :], gty[:, None, :],
                                 inv_main, want_y=False)
         xn = field.norm(x3)
-        lam = field.mul(num_step, inv_step)
-        x2 = field.sub(field.sub(field.sqr(lam), px), spx)
-        y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-        return xn, field.norm(x2), field.norm(y2)
+        px2 = xn[:, :, -1]
+        lam_l = field.mul(field.sub(gty[:, -1:], py), inv_main[:, :, -1])
+        py2 = field.norm(
+            field.sub(field.mul(lam_l, field.sub(px, x3[:, :, -1])), py))
+        return xn, px2, py2
 
     def through_hash(px, py):
         xn, px2, py2 = through_x(px, py)
@@ -120,8 +102,7 @@ def main():
         hits, count = match.topk_indices(mask_flat, cfg.max_hits)
         return px2, py2
 
-    for name, fn in [("dx+batch_inv (main only, 2^18)", dx_inv_main_only),
-                     ("dx+batch_inv (with step tail)", dx_inv),
+    for name, fn in [("dx+batch_inv (2^18)", dx_inv),
                      ("through x3+norm+advance", through_x_state),
                      ("+ hash160 both", through_hash_state),
                      ("+ probe + gated topk (full)", full)]:
