@@ -33,6 +33,7 @@ DEFAULT_TMPDIR = os.environ.get(
 BASELINE_ADDRESS_KEYS_PER_S = 4.76e6      # README.md:244 (x2 counting)
 BASELINE_VANITY_ENDO_KEYS_PER_S = 5.82e6  # README.md:301 (x6 counting, -e)
 BASELINE_BSGS_KEYS_PER_S = 15.2e12        # README.md:812-817 (k=1, 1 thread)
+BASELINE_MINIKEYS_KEYS_PER_S = 27.7e3     # README.md:1291 (1 thread random)
 
 
 def _steady_rate(step, state, seconds, pipeline=2):
@@ -87,8 +88,8 @@ def bench_bsgs(args, emit=True):
     if args.verbose:
         print(f"[bench] baby table m=2^{cfg.m.bit_length()-1} ready in "
               f"{time.time()-t_b:.1f}s", file=sys.stderr, flush=True)
-    slab0, slab1, _permpad, shift = tbl.buckets()
-    s0_, s1_ = jnp.asarray(slab0), jnp.asarray(slab1)
+    slab, _starts, shift = tbl.packed()
+    s_ = jnp.asarray(slab)
     step = make_giant_step_fn(cfg, 1, shift)
     # one unreachable target point far outside the walked window
     import numpy as np
@@ -98,7 +99,7 @@ def bench_bsgs(args, emit=True):
     z[0] = 1
     pz = jnp.asarray(z)
     t_c = time.time()
-    out = step(px, py, pz, s0_, s1_)
+    out = step(px, py, pz, s_)
     # force REAL completion with a host fetch: block_until_ready returns
     # early for pallas outputs on the tunneled runtime AND leaves the
     # stream in a state where later enqueues stall ~4.5 s each (measured:
@@ -109,7 +110,7 @@ def bench_bsgs(args, emit=True):
         print(f"[bench] compile+first call {time.time()-t_c:.1f}s",
               file=sys.stderr, flush=True)
 
-    fn = lambda px, py, pz: step(px, py, pz, s0_, s1_)      # noqa: E731
+    fn = lambda px, py, pz: step(px, py, pz, s_)      # noqa: E731
     calls, dt = _steady_rate(fn, (px, py, pz), args.seconds)
     rate = calls * cfg.keys_per_call(1) / dt
     points = calls * cfg.lanes * cfg.steps / dt
@@ -190,11 +191,85 @@ def bench_walker(args, emit=True):
     return result
 
 
+def bench_minikeys(args, emit=True):
+    """Minikeys mode on-device: candidates filtered per second (the
+    reference's counting — every tested minikey is a key candidate).
+    Baseline: 27.7 kkeys/s, 1 thread random (README.md:1291)."""
+    from keyhunt_tpu import runtime
+    runtime.setup()
+    from keyhunt_tpu.io.targets import _build, _h160_words
+    from keyhunt_tpu.search.minikeys import MinikeysConfig, MinikeysEngine
+
+    h = b"\xde\xad\xbe\xef" * 5                           # unreachable
+    ts = _build([_h160_words(h)], "hash160", {h})
+    cfg = MinikeysConfig()
+    eng = MinikeysEngine(cfg, ts, quiet=True, rng_seed=7, random_mode=True)
+    # warm up BOTH device paths (filter compile lands on block 1, the much
+    # larger solve graph — scalar_mult_base — on the first drained solve),
+    # then restart the meter for the steady-state window
+    from keyhunt_tpu.stats import SpeedMeter
+    eng.run(max_candidates=3 * cfg.filter_batch)
+    eng.meter = SpeedMeter()
+    eng.run(max_seconds=args.seconds)
+    rate = eng.meter.rate
+    result = {
+        "metric": "keys_per_sec_minikeys",
+        "value": round(rate, 1),
+        "unit": "keys/s",
+        "vs_baseline": round(rate / BASELINE_MINIKEYS_KEYS_PER_S, 3),
+        "baseline_row": "README.md:1291 minikeys 27.7 kkeys/s (1 thread)",
+    }
+    if emit:
+        print(json.dumps(result), flush=True)
+    return result
+
+
+def bench_vanity(args, emit=True):
+    """Vanity mode: the compressed-endo walker with the probe replaced by
+    hash160-in-range compares (thread_process_vanity). Baseline: the
+    reference's own vanity -e run, 5.82 Mkeys/s x6 counting
+    (README.md:301)."""
+    from keyhunt_tpu import runtime
+    runtime.setup()
+    import numpy as np
+    import jax.numpy as jnp
+    from keyhunt_tpu.io.targets import load_vanity_targets, ranges_to_words
+    from keyhunt_tpu.ops import match
+    from keyhunt_tpu.search.walker import (WalkerConfig, make_step_fn,
+                                           seed_pivots)
+
+    ts = load_vanity_targets(["1KeyHuntHunt"])       # unreachable prefix
+    cfg = WalkerConfig(pivots=args.pivots, width=args.width,
+                       steps=args.steps_walker, mode="compressed",
+                       vanity=ranges_to_words(ts.points), endo=args.endo)
+    t0_, t1_ = match.build_table([])
+    step = make_step_fn(cfg)
+    t0_, t1_ = jnp.asarray(t0_), jnp.asarray(t1_)
+    px, py = seed_pivots(cfg, 1 << 65)
+    out = step(px, py, t0_, t1_)
+    np.asarray(out[-1])       # force REAL completion (see bench_bsgs note)
+    fn = lambda px, py: step(px, py, t0_, t1_)      # noqa: E731
+    calls, dt = _steady_rate(fn, (px, py), args.seconds)
+    rate = calls * cfg.keys_per_call * cfg.keys_per_point / dt
+    points = calls * cfg.keys_per_call / dt
+    result = {
+        "metric": "keys_per_sec_vanity" + ("_endo" if cfg.endo else ""),
+        "value": round(rate, 1),
+        "unit": "keys/s",
+        "points_per_sec": round(points, 1),
+        "vs_baseline": round(rate / BASELINE_VANITY_ENDO_KEYS_PER_S, 3),
+        "baseline_row": "README.md:301 vanity -e 5.82 Mkeys/s (x6 counting)",
+    }
+    if emit:
+        print(json.dumps(result), flush=True)
+    return result
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
                     choices=["all", "compressed", "xpoint", "uncompressed",
-                             "eth", "bsgs"])
+                             "eth", "bsgs", "minikeys", "vanity"])
     ap.add_argument("--m", type=int, default=1 << 26,
                     help="bsgs: baby-table size")
     ap.add_argument("--lanes", type=int, default=32768,
@@ -216,15 +291,25 @@ def main(argv=None) -> int:
     if args.mode == "bsgs":
         bench_bsgs(args)
         return 0
+    if args.mode == "minikeys":
+        bench_minikeys(args)
+        return 0
+    if args.mode == "vanity":
+        bench_vanity(args)
+        return 0
     if args.mode != "all":
         bench_walker(args)
         return 0
 
-    # default: BSGS headline + walker secondary, ONE JSON line
+    # default: BSGS headline + per-mode secondaries, ONE JSON line
     walker = bench_walker(args, emit=False)
+    vanity = bench_vanity(args, emit=False)
+    minikeys = bench_minikeys(args, emit=False)
     bsgs = bench_bsgs(args, emit=False)
     headline = dict(bsgs)
     headline["secondary"] = walker
+    headline["vanity"] = vanity
+    headline["minikeys"] = minikeys
     print(json.dumps(headline), flush=True)
     return 0
 

@@ -83,6 +83,33 @@ def build_parser() -> argparse.ArgumentParser:
                         "role of the reference's mmap'd chunked blooms)")
     p.add_argument("--rmd-batch-size", type=int, default=None,
                    help="accepted for parity; device batch is --pivots*--width")
+    # reference mapped-bloom flag family (keyhunt.cpp:724-830, README:35-62):
+    # accepted and TRANSLATED onto the TPU build's persistence/partition
+    # knobs (warn + translate, never error) so existing keyhunt invocations
+    # run unchanged — see translate_mapped_flags.
+    p.add_argument("--mapped", nargs="?", const="", default=None,
+                   metavar="FILE",
+                   help="reference alias: disk-backed probe structures -> "
+                        "-S persisted tables (FILE's directory becomes "
+                        "--tmpdir)")
+    p.add_argument("--mapped-size", default=None, metavar="BYTES",
+                   help="reference alias: accepted; table files size "
+                        "themselves exactly (no preallocation needed)")
+    p.add_argument("--mapped-chunks", type=int, default=None, metavar="N",
+                   help="reference alias: split across N resident chunks -> "
+                        "--table-partitions N")
+    p.add_argument("--bloom-bytes", default=None, metavar="SIZE",
+                   help="reference alias: accepted; the device probe uses "
+                        "exact packed slabs, no error-rate sizing")
+    p.add_argument("--create-mapped", nargs="?", const="", default=None,
+                   metavar="SIZE",
+                   help="reference alias: preallocate without searching -> "
+                        "build + save the BSGS table, then exit")
+    p.add_argument("--bloom-file", default=None, metavar="FILE",
+                   help="reference alias: probe-structure path -> --ptable")
+    p.add_argument("--load-bloom", action="store_true",
+                   help="reference alias: require the existing file -> "
+                        "--load-ptable")
     # TPU sizing
     p.add_argument("--pivots", type=int, default=64, help="walker pivot count A")
     p.add_argument("--width", type=int, default=4096, help="walker offset width W")
@@ -90,6 +117,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seconds", type=float, default=None)
     p.add_argument("--devices", type=int, default=None,
                    help="shard the range across this many devices (default: all)")
+    # multi-host (jax.distributed): run the SAME command on every host with
+    # its own --process-id; the mesh then spans all hosts' chips and
+    # --devices defaults to the global device count. Replaces the
+    # reference's daemon + fan-out client (bsgsd_client.py:284-404).
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -151,9 +186,76 @@ def resolve_nseq(args) -> int:
     return n
 
 
+def translate_mapped_flags(args) -> None:
+    """Map the reference's mapped-bloom flag family (keyhunt.cpp:724-830)
+    onto this build's knobs, warning about each translation. The TPU
+    analog of a disk-backed bloom/bP file is the persisted baby table +
+    packed-slab sidecar (-S/--tmpdir/--ptable) and, for capacity beyond
+    device memory, --table-partitions sweeps (BsgsConfig docstring)."""
+    def note(msg):
+        print(f"[W] {msg}", flush=True)
+
+    if getattr(args, "mapped", None) is not None:
+        args.save = True
+        if args.mapped:
+            d = os.path.dirname(args.mapped)
+            if d:
+                args.tmpdir = d
+        note("--mapped: translated to -S persisted tables in "
+             f"'{args.tmpdir}' (HBM-resident packed slabs + on-disk "
+             "sidecars play the mapped-bloom role)")
+    if getattr(args, "mapped_chunks", None):
+        if not getattr(args, "table_partitions", 0):
+            args.table_partitions = args.mapped_chunks
+        note(f"--mapped-chunks {args.mapped_chunks}: translated to "
+             f"--table-partitions {args.table_partitions} (bucket-"
+             "contiguous resident chunks, one range sweep each)")
+    if getattr(args, "mapped_size", None) is not None:
+        note("--mapped-size: accepted (table files size themselves "
+             "exactly; no preallocation needed)")
+    if getattr(args, "bloom_bytes", None) is not None:
+        note("--bloom-bytes: accepted (the device probe is an exact "
+             "packed-slab compare; no bloom error-rate sizing)")
+    if getattr(args, "bloom_file", None):
+        if not getattr(args, "ptable", None):
+            args.ptable = args.bloom_file
+        note(f"--bloom-file: translated to --ptable {args.ptable}")
+    if getattr(args, "load_bloom", False):
+        args.load_ptable = True
+        note("--load-bloom: translated to --load-ptable")
+    if getattr(args, "create_mapped", None) is not None:
+        args.save = True
+        note("--create-mapped: the BSGS table will be built and saved, "
+             "then exit without searching")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    runtime.setup()
+    runtime.setup(coordinator=args.coordinator,
+                  num_processes=args.num_processes,
+                  process_id=args.process_id)
+    translate_mapped_flags(args)
+
+    if getattr(args, "create_mapped", None) is not None:
+        if args.mode != "bsgs":
+            raise SystemExit("[E] --create-mapped only applies to -m bsgs "
+                             "(target caches build automatically on load)")
+        from .search.bsgs import (derive_m, build_baby_table, save_table,
+                                  table_path, load_table)
+        n_value = parse_int(args.nvalue) if args.nvalue else None
+        m = derive_m(n_value, args.kfactor)
+        path = getattr(args, "ptable", None) or table_path(m, args.tmpdir)
+        try:
+            if load_table(m, path=path, verify=not args.skip_checksum):
+                print(f"[+] table {path} already exists", flush=True)
+                return 0
+        except Exception:
+            pass
+        tbl = build_baby_table(m, progress=not args.quiet)
+        print(f"[+] saved baby table {save_table(tbl, path=path)}",
+              flush=True)
+        tbl.packed()        # also materialize the packed-slab sidecar
+        return 0
 
     if args.mode == "bsgs":
         from .search.bsgs import run_bsgs_cli

@@ -139,6 +139,102 @@ def probe_buckets(slab0, slab1, w0, w1, shift: int):
     return hit, pos
 
 
+# -- PACKED bucket slabs: 4 bytes per device slot -------------------------
+#
+# The two-word slabs store the full 64-bit fragment, but the bucket index
+# already pins the top (32 - shift) bits of w0 — storing them again is
+# pure HBM waste, and HBM bytes are the k-factor ceiling (SURVEY §5: the
+# reference's whole RAM->speed trade, README.md:819-928). The packed
+# layout keeps ONE uint32 per slot: the 32 fragment bits immediately
+# BELOW the bucket bits,
+#
+#     residual = bits [64-bbits-32, 64-bbits) of (w0||w1)
+#              = (w0 << bbits) | (w1 >> shift),     bbits = 32 - shift
+#
+# so a probe still matches bbits + 32 fragment bits (>= 54 at m = 2^30,
+# avg = 256). False positives (~maxlen * 2^-32 per query, ~0.04 per
+# 524288-query dispatch) cost one host verify each — the same rare-path
+# economics as the reference's bloom cascade, at HALF the device bytes of
+# the two-word slabs and ~40% of the reference's own ~9.6 B/entry
+# (6-byte table entry + ~3.6 B/entry of blooms, keyhunt.cpp:132-135,
+# 1687-1781). This is what lets one 16 GB chip hold m = 2^30..2^31.
+#
+# Padded slots keep the 0xFFFFFFFF sentinel; a real entry whose residual
+# happens to equal the sentinel still matches correctly (the sentinel only
+# ever CAUSES false positives, never false negatives).
+#
+# Position decode moves fully host-side: pos = bucket*maxlen + slot, and
+# since entries are bucket-contiguous in the sorted order, the sorted
+# index is starts[bucket] + slot — no padded permutation array at all
+# (VERDICT r3 next-steps #1).
+
+def pack_residual(w0, w1, shift: int):
+    """The stored/compared uint32 residual of a 64-bit fragment (w0, w1)
+    under bucket shift `shift`. Works on numpy and jnp operands."""
+    bbits = 32 - shift
+    if isinstance(w0, np.ndarray):
+        return ((w0 << np.uint32(bbits)) | (w1 >> np.uint32(shift))) \
+            .astype(np.uint32)
+    return (jax.lax.shift_left(w0, jnp.uint32(bbits))
+            | jax.lax.shift_right_logical(w1, jnp.uint32(shift)))
+
+
+def build_buckets_packed(t0, t1, avg: int = 256):
+    """Host: lexicographically sorted fragment arrays -> packed slabs.
+
+    Returns (slab, starts, shift): slab (nbuckets, maxlen) uint32
+    residuals with sentinel padding; starts (nbuckets+1,) int64 prefix
+    offsets into the SORTED order (bucket b's entries are the sorted
+    indices [starts[b], starts[b+1])), used by the host to map a padded
+    hit position back to its baby index."""
+    m = int(t0.shape[0])
+    nb = 1 << max((m // max(avg, 1)).bit_length() - 1, 1)
+    shift = 32 - (nb.bit_length() - 1)
+    t0 = np.asarray(t0)
+    t1 = np.asarray(t1)
+    b = (t0 >> np.uint32(shift)).astype(np.int64)
+    counts = np.bincount(b, minlength=nb)
+    maxlen = max(int(counts.max()), 1)
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    offsets = np.arange(m, dtype=np.int64) - starts[b]
+    slab = np.full(nb * maxlen, 0xFFFFFFFF, np.uint32)
+    slab[b * maxlen + offsets] = pack_residual(t0, t1, shift)
+    return slab.reshape(nb, maxlen), starts, shift
+
+
+def probe_buckets_packed(slab, w0, w1, shift: int):
+    """Device: (hit, pos) against a packed slab — one row gather + a
+    vectorized residual compare. pos = bucket*maxlen + slot (the padded
+    slot space; map through starts on host)."""
+    maxlen = slab.shape[1]
+    bidx = jax.lax.shift_right_logical(w0, jnp.uint32(shift)).astype(jnp.int32)
+    res = pack_residual(w0, w1, shift)
+    row = slab[bidx]                               # (Bq, maxlen)
+    eq = row == res[:, None]
+    hit = eq.any(axis=1)
+    slot = jnp.argmax(eq, axis=1).astype(U32)
+    pos = bidx.astype(U32) * np.uint32(maxlen) + slot
+    return hit, pos
+
+
+def probe_buckets_packed_ranged(slab, w0, w1, shift: int, base):
+    """Packed probe against a PARTITION: slab holds global bucket rows
+    [base, base + per); base is a TRACED int32 scalar (one compile per
+    sweep). Off-partition queries miss; pos is GLOBAL."""
+    per, maxlen = slab.shape
+    gb = jax.lax.shift_right_logical(w0, jnp.uint32(shift)).astype(jnp.int32)
+    res = pack_residual(w0, w1, shift)
+    lb = gb - base
+    mine = (lb >= 0) & (lb < per)
+    row = slab[jnp.clip(lb, 0, per - 1)]           # (Bq, maxlen)
+    eq = (row == res[:, None]) & mine[:, None]
+    hit = eq.any(axis=1)
+    slot = jnp.argmax(eq, axis=1).astype(U32)
+    pos = gb.astype(U32) * np.uint32(maxlen) + slot
+    return hit, pos
+
+
 def probe_buckets_ranged(slab0, slab1, w0, w1, shift: int, base):
     """Like `probe_buckets`, but against a PARTITION of the global bucket
     space: slab* hold rows for global buckets [base, base + per) only.

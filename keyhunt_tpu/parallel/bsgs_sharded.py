@@ -5,19 +5,21 @@ This is the TPU replacement for the reference's two scale paths
 (SURVEY.md §5 "long-context analog"): the k-factor (bigger baby table ->
 fewer giant steps) becomes *aggregate HBM across the mesh* — a v5p pod
 slice holds a table D times larger than one chip — and the 256-way
-byte-sharded bloom layers become value-range shards of the sorted
-fragment table.
+byte-sharded bloom layers become value-range shards of the PACKED bucket
+slab (4 B/slot, ops.match.build_buckets_packed).
 
 Layout per step (mesh axis 'kspace', D devices):
-- table: lexicographically sorted fragments split into D equal value
-  ranges; device d holds shard d (P(AXIS) over the shard axis);
-- lanes: each device walks B giant lanes covering its own stripe of
-  centers (global lane l = d*B + b advances by D*B*stride keys/step);
-- probe: every device all-gathers all D*B queries (64 bits each — tiny on
-  ICI), probes its local BUCKET-SLAB shard (`ops.match.build_buckets` —
-  one row gather + compare, no binary-search loop; the searchsorted form
-  costs ~150x composed, measured r2), and the per-shard hits/payloads
-  combine with a psum. A fragment lives in exactly one bucket (hence one
+- table: packed bucket slab split by bucket index into D equal stacks;
+  device d holds rows [d*per, (d+1)*per) (P(AXIS) over the shard axis);
+- lanes: each device walks its own (T, B) block of JACOBIAN lanes with
+  the fused giant-scan kernel (ops.jacwalk — the same single-kernel walk
+  as the single-device path; the r2 per-step batched inversion that this
+  replaces measured launch-bound at ~19 M pts/s, VERDICT r3 weak #2).
+  Affine conversion is deferred: ONE local batched inversion over all
+  S-step emissions, then the 64-bit fragments (16 B/lane/step) ride ONE
+  all-gather per call;
+- probe: every device probes all D*S*Ll gathered queries against its
+  local slab shard; a fragment lives in exactly one bucket (hence one
   shard), so the psum of (hit, pos+1) pairs is exact, not a vote.
 """
 
@@ -30,44 +32,43 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from jax import shard_map
 from functools import partial
 
-from ..ops import u256, field, match
+from ..ops import match, jacwalk
 from ..ref import ecc
-from ..search.bsgs import BabyTable, BsgsConfig, DEGEN_SLOTS
+from ..search.bsgs import (BabyTable, BsgsConfig, DEGEN_SLOTS,
+                           decode_packed_pos)
 from .mesh import AXIS
 
 U32 = jnp.uint32
 
 
-def shard_buckets(tbl: BabyTable, n_devices: int, avg: int = 32):
-    """Split the direct-indexed bucket slabs by BUCKET INDEX into D equal
-    stacks: device d owns buckets [d*per, (d+1)*per). Bucket index is
+def shard_buckets_packed(tbl: BabyTable, n_devices: int,
+                         avg: int | None = None):
+    """Split the packed bucket slab by BUCKET INDEX into D equal stacks:
+    device d owns buckets [d*per, (d+1)*per). Bucket index is
     `w0 >> shift`, so query routing is a shift+compare — the TPU reading
     of the reference's 256-way first-byte bloom shards
     (`keyhunt.cpp:1704-1718`). If the table has fewer buckets than
     devices, sentinel rows pad the tail shards (they never match).
 
-    Returns (slab0, slab1, permpad, shift) with slab* shaped
-    (D, per, maxlen); permpad is the GLOBAL padded position→j permutation
-    (host RAM, consulted only for rare hits)."""
-    slab0, slab1, permpad, shift = tbl.buckets(avg)
-    nb, maxlen = slab0.shape
+    Returns (slab, starts, shift) with slab shaped (D, per, maxlen);
+    starts is the GLOBAL bucket prefix (host RAM, consulted via
+    decode_packed_pos only for rare hits)."""
+    slab, starts, shift = tbl.packed(avg)
+    slab = np.asarray(slab)
+    nb, maxlen = slab.shape
     if nb < n_devices:
         pad = n_devices - nb
         fill = np.full((pad, maxlen), 0xFFFFFFFF, np.uint32)
-        slab0 = np.concatenate([slab0, fill])
-        slab1 = np.concatenate([slab1, fill])
-        permpad = np.concatenate(
-            [permpad, np.zeros(pad * maxlen, np.uint32)])
+        slab = np.concatenate([slab, fill])
         nb = n_devices
     assert nb % n_devices == 0            # both are powers of two
     per = nb // n_devices
-    return (slab0.reshape(n_devices, per, maxlen),
-            slab1.reshape(n_devices, per, maxlen), permpad, shift)
+    return slab.reshape(n_devices, per, maxlen), starts, shift
 
 
 #: compiled sharded steppers keyed by everything shape/geometry-relevant —
-#: table slabs ride as RUNTIME jit arguments, so ggsb pass switches and
-#: daemon target-set changes reuse the compile (VERDICT r2 weak #8).
+#: the table slab rides as a RUNTIME jit argument, so ggsb pass switches
+#: and daemon target-set changes reuse the compile (VERDICT r2 weak #8).
 _STEPPER_CACHE: dict = {}
 
 
@@ -79,154 +80,102 @@ def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
         return hit
     D = mesh.devices.size
     B, S, K = cfg.lanes, cfg.steps, cfg.max_hits
-    Lg = n_targets * D * B                     # global lanes
     Ll = n_targets * B                         # lanes per device
     adv = ecc.ec_mul(D * B * cfg.stride)       # global advance per step
     negadv = ecc.ec_neg(adv)
-    cxc = u256.from_int(negadv[0], (1,))
-    cyc = u256.from_int(negadv[1], (1,))
 
-    def local_step(s0, s1, px, py):
-        # px, py: (8, Ll) local lanes; s0/s1: (per, maxlen) local buckets
-        cxb = jnp.broadcast_to(jnp.asarray(cxc), (8, Ll)).astype(U32)
-        cyb = jnp.broadcast_to(jnp.asarray(cyc), (8, Ll)).astype(U32)
+    def local_step(slab, X, Y, Z):
+        # X/Y/Z: (8, Ll) local Jacobian lanes; slab: (per, maxlen) local
+        # packed bucket rows. The fused kernel emits all S steps' (X, Z);
+        # ONE deferred local inversion converts them to affine fragments.
+        Xo, Yo, Zo, xs, zs, dg = jacwalk.giant_scan(
+            X, Y, Z, negadv[0], negadv[1], S)
+        xa = jacwalk.to_affine_x(xs, zs)           # (8, S*Ll) canonical
+        frags = jnp.stack([xa[7], xa[6]])          # (2, S*Ll) step-major
 
-        def one(carry, _):
-            px, py = carry
-            frag = jnp.stack([px[7], px[6]])              # (2, Ll)
+        # degenerate lanes stay device-local: up to DEGEN_SLOTS global
+        # flat indices per (device, step) row (a psum combine would
+        # corrupt simultaneous flags on two devices)
+        my = jax.lax.axis_index(AXIS).astype(jnp.int32)
 
-            # degenerate lanes stay device-local: up to DEGEN_SLOTS local
-            # indices per step, offset into the global lane space (a psum
-            # combine would corrupt simultaneous flags on two devices)
-            x_eq = u256.eq(px, cxb)
-            y_eq = u256.eq(py, cyb)
-            same = x_eq & y_eq
-            inf_case = x_eq & (~y_eq)
-            my = jax.lax.axis_index(AXIS).astype(jnp.int32)
-            fl, _ = match.topk_indices(x_eq, DEGEN_SLOTS)
-            flags = jnp.where(fl >= 0, fl + my * np.int32(Ll), -1)
-            one_b = jnp.broadcast_to(field.const(1, 2), (8, Ll)).astype(U32)
-            den = jnp.where(same[None], field.add(py, py), field.sub(cxb, px))
-            den = jnp.where(inf_case[None], one_b, den)
-            num = jnp.where(same[None], field.mul_small(field.sqr(px), 3),
-                            field.sub(cyb, py))
-            inv = field.batch_inv(den)
-            lam = field.mul(num, inv)
-            x2 = field.sub(field.sub(field.sqr(lam), px), cxb)
-            y2 = field.sub(field.mul(lam, field.sub(px, x2)), py)
-            return ((field.norm(x2), field.norm(y2)), (frag, flags))
+        def extract(m):
+            vals, idx = jax.lax.top_k(m.astype(jnp.int32), DEGEN_SLOTS)
+            return jnp.where(vals > 0, idx + my * np.int32(Ll), -1)
+        flags = jax.lax.cond(
+            dg.sum() > 0, lambda m: jax.vmap(extract)(m),
+            lambda m: jnp.full((S, DEGEN_SLOTS), -1, jnp.int32), dg)
 
-        (px2, py2), (frags, flags) = jax.lax.scan(
-            one, (px, py), None, length=S)
-        # frags: (S, 2, Ll) -> all-gather -> (D, S, 2, Ll); flatten the
-        # query space step-major/device-major: g = (s*D + d)*Ll + l
-        qall = jax.lax.all_gather(frags, AXIS)
-        w0 = qall[:, :, 0, :].transpose(1, 0, 2).reshape(-1)    # (S*Lg,)
-        w1 = qall[:, :, 1, :].transpose(1, 0, 2).reshape(-1)
-        # bucket probe against the local shard: global bucket = w0 >> shift,
-        # local row = global - my*per; off-shard queries are masked out.
-        myi = jax.lax.axis_index(AXIS).astype(jnp.int32)
-        gb = jax.lax.shift_right_logical(w0, jnp.uint32(shift)) \
-            .astype(jnp.int32)
-        lb = gb - myi * np.int32(per)
-        mine = (lb >= 0) & (lb < per)
-        lclip = jnp.clip(lb, 0, per - 1)
-        r0 = s0[lclip]                              # (S*Lg, maxlen)
-        r1 = s1[lclip]
-        eq = (r0 == w0[:, None]) & (r1 == w1[:, None]) & mine[:, None]
-        hit_l = eq.any(axis=1)
-        slot = jnp.argmax(eq, axis=1).astype(U32)
-        # global padded position (bucket*maxlen + slot) for the host perm
-        gpos = gb.astype(U32) * np.uint32(maxlen) + slot
+        # ONE all-gather ships every device's S*Ll fragments (16 B per
+        # lane-step on ICI); flatten step-major/device-major so the flat
+        # query index is g = (s*D + d)*Ll + l (the engine's decode).
+        qall = jax.lax.all_gather(frags, AXIS)     # (D, 2, S*Ll)
+        w0 = qall[:, 0, :].reshape(D, S, Ll).transpose(1, 0, 2).reshape(-1)
+        w1 = qall[:, 1, :].reshape(D, S, Ll).transpose(1, 0, 2).reshape(-1)
+
+        # packed probe against the local shard (global rows [my*per, ...))
+        hit_l, gpos = match.probe_buckets_packed_ranged(
+            slab, w0, w1, shift, my * np.int32(per))
         hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
         # a fragment lives in exactly one bucket shard: psum is a select
-        pos_all = jax.lax.psum(jnp.where(hit_l, gpos + 1, 0), AXIS)
+        pos_all = jax.lax.psum(jnp.where(hit_l, gpos + np.uint32(1),
+                                         np.uint32(0)), AXIS)
         lanes, possel, count = match.topk_with_payload(hit, pos_all, K)
         jout = jnp.where(lanes >= 0, possel - 1, 0)
+        # all-gather the (tiny) per-device flag rows so every output is
+        # REPLICATED — a multi-host process can fetch all of them (a
+        # P(AXIS) output is only partially addressable there); rows stay
+        # device-major: row = d*S + s, the engine's decode convention.
+        flags_all = jax.lax.all_gather(flags, AXIS) \
+            .reshape(D * S, DEGEN_SLOTS)
         # count as (1,), not rank-0: scalar fetches cost seconds on the
         # tunneled runtime (see search.bsgs.make_giant_step_fn)
-        return px2, py2, lanes, jout, count[None], flags
+        return Xo, Yo, Zo, lanes, jout, count[None], flags_all
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None, None), P(AXIS, None, None),
-                       P(None, AXIS), P(None, AXIS)),
-             # flags ride P(AXIS): device d's (S, DEGEN_SLOTS) block sits at
-             # rows [d*S, (d+1)*S) of the concatenated output
-             out_specs=(P(None, AXIS), P(None, AXIS),
-                        P(), P(), P(), P(AXIS)),
+             in_specs=(P(AXIS, None, None),
+                       P(None, AXIS), P(None, AXIS), P(None, AXIS)),
+             out_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
+                        P(), P(), P(), P()),
              # Pallas calls inside the body don't declare varying-mesh-axes
-             # metadata; vma checking (default-on since jax 0.9) rejects them.
+             # metadata; vma checking (default-on since jax 0.9) rejects
+             # them.
              check_vma=False)
-    def stepper(s0, s1, px, py):
-        return local_step(s0[0], s1[0], px, py)
+    def stepper(slab, X, Y, Z):
+        return local_step(slab[0], X, Y, Z)
 
     sh_tab = NamedSharding(mesh, P(AXIS, None, None))
     sh_pts = NamedSharding(mesh, P(None, AXIS))
-    jitted = jax.jit(stepper, in_shardings=(sh_tab, sh_tab, sh_pts, sh_pts))
+    jitted = jax.jit(stepper,
+                     in_shardings=(sh_tab, sh_pts, sh_pts, sh_pts))
     _STEPPER_CACHE[key] = jitted
     return jitted
 
 
 def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
                             n_targets: int = 1):
-    """SPMD giant walk over the mesh. State: (px, py) with T*D*B global
-    lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B). The scan
-    advances lanes and stacks per-step X fragments; ONE all-gather ships
-    all S steps' queries (S*Lg * 8 bytes) and ONE bucket probe of the
-    local shard runs per call — the nested-while searchsorted form costs
-    ~150x more composed (see ops.match.build_buckets), and batching the
-    all-gather also replaces S small collectives with one.
+    """SPMD giant walk over the mesh. State: Jacobian (X, Y, Z) with
+    T*D*B global lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B)
+    (device-major (d, t, b) flat layout — BsgsEngine._seed).
 
-    Outputs: replicated top-K flat hits into the (S, Lg) query space
-    (step-major, device-major within a step) + global padded slab
-    positions + count, plus per-device degenerate-lane flags. The
-    returned `run` carries `.perm` — the padded host permutation mapping
-    global positions back to baby indices j. Slabs are runtime jit args:
+    Outputs: (X', Y', Z', lanes, jsel, count, flags) — replicated top-K
+    flat hits into the (S, Lg) query space (step-major, device-major
+    within a step) + global padded slab positions + count, plus
+    per-device degenerate-lane flag rows. The returned `run` carries
+    `.pos_to_j`, the host decode from padded positions to baby indices
+    (None = sentinel false positive). The slab is a runtime jit arg:
     ggsb pass switches with equal slab shapes reuse the compile."""
-    s0, s1, perm_host, shift = shard_buckets(tbl, mesh.devices.size)
-    per, maxlen = s0.shape[1], s0.shape[2]
+    from .mesh import commit_to_mesh
+    slab, starts, shift = shard_buckets_packed(tbl, mesh.devices.size)
+    per, maxlen = slab.shape[1], slab.shape[2]
     jitted = _sharded_stepper(cfg, n_targets, mesh, per, maxlen, shift)
+    slab = commit_to_mesh(slab, mesh, P(AXIS, None, None))
 
-    def run(px, py):
-        return jitted(s0, s1, px, py)
+    def run(X, Y, Z):
+        X = commit_to_mesh(X, mesh, P(None, AXIS))
+        Y = commit_to_mesh(Y, mesh, P(None, AXIS))
+        Z = commit_to_mesh(Z, mesh, P(None, AXIS))
+        return jitted(slab, X, Y, Z)
 
-    run.perm = perm_host
+    perm = tbl.perm
+    run.pos_to_j = lambda pos: decode_packed_pos(pos, starts, maxlen, perm)
     return run
-
-
-def seed_lanes_sharded(cfg: BsgsConfig, targets, c0: int, n_devices: int,
-                       record_cb=None):
-    """Host: P[t, global lane l] = Q_t - (c0 + l*stride)*G, global lane
-    l = d*B + b ordered device-major so P(None, AXIS) shards device blocks.
-
-    record_cb(t, key) is invoked when a lane lands exactly on Q (the key
-    is c0 + l*stride); the lane is replaced by a dummy.
-    """
-    B = cfg.lanes
-    L = n_devices * B
-    step = ecc.ec_mul(cfg.stride)
-    xs, ys = [], []
-    for t, q in enumerate(targets):
-        pt = ecc.ec_sub(q, ecc.ec_mul(c0))
-        off = None
-        for l in range(L):
-            p = pt if off is None else ecc.ec_sub(pt, off)
-            if l + 1 < L:
-                off = ecc.ec_add(off, step) if off is not None else step
-            if p is None:
-                if record_cb:
-                    record_cb(t, c0 + l * cfg.stride)
-                p = ecc.G
-            xs.append(p[0])
-            ys.append(p[1])
-    # reorder target-major [t][l] -> device blocks [d][t][b]? The step fn
-    # shards the lane axis into device blocks; lanes are laid out
-    # [t, l] flattened with l device-major, so shard d gets, for every
-    # target, its stripe — but shard boundaries must align: arrange as
-    # (d, t, b) so that slicing along the flat axis by D gives whole
-    # (t, b) blocks per device.
-    xs = np.array(xs, dtype=object).reshape(len(targets), n_devices, B)
-    ys = np.array(ys, dtype=object).reshape(len(targets), n_devices, B)
-    xs = xs.transpose(1, 0, 2).reshape(-1)
-    ys = ys.transpose(1, 0, 2).reshape(-1)
-    return (u256.from_ints(list(xs)), u256.from_ints(list(ys)))

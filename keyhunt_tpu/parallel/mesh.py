@@ -45,6 +45,23 @@ def make_mesh(n_devices: int | None = None, platform: str | None = None) -> Mesh
     return Mesh(np.array(devs), (AXIS,))
 
 
+def commit_to_mesh(arr, mesh: Mesh, spec):
+    """Place a host array onto the mesh under `spec`. Single-process:
+    return it unchanged (jit in_shardings commits it). Multi-process
+    (jax.distributed): build a global array from per-process local shards
+    — every host holds the same full numpy array (seeds and tables are
+    computed deterministically on each host), so the callback just slices
+    this process's addressable blocks."""
+    if not isinstance(arr, np.ndarray):
+        return arr                       # already a (global) device array
+    if jax.process_count() == 1:
+        return arr
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sh, lambda idx: np.ascontiguousarray(arr[idx]))
+
+
 def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
                          shift: int | None = None):
     """Jitted SPMD step over the mesh: pivot arrays are sharded along the
@@ -68,14 +85,19 @@ def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, AXIS), P(None, AXIS), nspec, nspec),
-             out_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P()),
+             out_specs=(P(None, AXIS), P(None, AXIS), P(), P()),
              # Pallas calls inside the body don't declare varying-mesh-axes
              # metadata; vma checking (default-on since jax 0.9) rejects them.
              check_vma=False)
     def sharded(px, py, t0c, t1c):
         px2, py2, packed = raw(px, py, t0c, t1c)
         total = jax.lax.psum(packed[:, -1].sum(), AXIS)
-        return px2, py2, packed, total[None]
+        # all-gather the (tiny) per-device hit rows so the host-bound
+        # output is REPLICATED: every process of a multi-host run can
+        # fetch it (a P(AXIS) output is only partially addressable there)
+        packed_all = jax.lax.all_gather(packed, AXIS) \
+            .reshape(mesh.devices.size * packed.shape[0], packed.shape[1])
+        return px2, py2, packed_all, total[None]
 
     from jax.sharding import NamedSharding
     sh = NamedSharding(mesh, P(None, AXIS))
@@ -84,9 +106,13 @@ def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
     # even when they are not the process-default platform (CPU-mesh tests
     # under a TPU-default process).
     jitted = jax.jit(sharded, in_shardings=(sh, sh, shr, shr))
+    s0c = commit_to_mesh(np.asarray(slab0), mesh, nspec)
+    s1c = commit_to_mesh(np.asarray(slab1), mesh, nspec)
 
     def run(px, py):
-        return jitted(px, py, slab0, slab1)
+        px = commit_to_mesh(px, mesh, P(None, AXIS))
+        py = commit_to_mesh(py, mesh, P(None, AXIS))
+        return jitted(px, py, s0c, s1c)
 
     return run
 

@@ -57,6 +57,8 @@ class BabyTable:
     t1: np.ndarray      # fragment word 1 (X limb 6), lexicographic under t0
     perm: np.ndarray    # original j-1 (uint32) for each sorted slot
     depth: int = 4
+    srcdir: str | None = None   # .d directory this table was loaded from
+    verify: bool = True         # honor -6 for derived sidecar files too
 
     def buckets(self, avg: int | None = None):
         """Direct-indexed bucket slabs (ops.match.build_buckets), built
@@ -93,6 +95,102 @@ class BabyTable:
             cached = (jnp.asarray(slab0), jnp.asarray(slab1), permpad, shift)
             self._dev_buckets = cached
         return cached
+
+    # -- packed layout: 4 B/slot (the r4 density redesign) ----------------
+
+    def default_avg(self) -> int:
+        """Bucket mean for the packed slabs. Bigger avg = less Poisson-tail
+        padding but a longer per-query gather row; measured on the chip at
+        m=2^28, avg=256 beat avg=32 on BOTH speed and bytes. Very large m
+        takes avg=512 to shave the pad factor where HBM is tightest."""
+        if self.m <= (1 << 24):
+            return 32
+        return 256 if self.m <= (1 << 30) else 512
+
+    def packed(self, avg: int | None = None):
+        """(slab, starts, shift) packed bucket slabs (4 bytes per device
+        slot — ops.match.build_buckets_packed). Built lazily and cached;
+        tables loaded from a .d directory also cache the built slabs ON
+        DISK (packed<avg>.{slab,starts}.npy + json with sha256), so a
+        daemon/CLI restart skips the multi-GB host rebuild."""
+        if avg is None:
+            avg = self.default_avg()
+        cached = getattr(self, "_packed", None)
+        if cached is not None and cached[0] == avg:
+            return cached[1]
+        trip = self._load_packed_sidecar(avg)
+        if trip is None:
+            trip = match.build_buckets_packed(np.asarray(self.t0),
+                                              np.asarray(self.t1), avg=avg)
+            self._save_packed_sidecar(avg, trip)
+        self._packed = (avg, trip)
+        return trip
+
+    def device_packed(self, avg: int | None = None):
+        """(slab_dev, starts, shift) with the slab device-resident, cached
+        (same daemon economics as device_buckets)."""
+        cached = getattr(self, "_dev_packed", None)
+        if cached is None:
+            slab, starts, shift = self.packed(avg)
+            cached = (jnp.asarray(slab), starts, shift)
+            self._dev_packed = cached
+        return cached
+
+    def pos_to_j(self, pos: int) -> int | None:
+        """Padded slab position (bucket*maxlen + slot) -> baby index j
+        (1-based), or None for a padded-sentinel false positive."""
+        slab, starts, _ = self.packed()
+        return decode_packed_pos(pos, starts, slab.shape[1], self.perm)
+
+    def _sidecar_paths(self, avg: int):
+        if not self.srcdir or not os.path.isdir(self.srcdir):
+            return None
+        stem = os.path.join(self.srcdir, f"packed{avg}")
+        return (stem + ".slab.npy", stem + ".starts.npy", stem + ".json")
+
+    def _load_packed_sidecar(self, avg: int):
+        import json
+        paths = self._sidecar_paths(avg)
+        if paths is None or not all(os.path.exists(p) for p in paths):
+            return None
+        slab_p, starts_p, meta_p = paths
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if self.verify:
+            for p, key in ((slab_p, "slab"), (starts_p, "starts")):
+                if _file_sha256(p) != meta["sha256"][key]:
+                    raise ValueError(f"checksum mismatch in {p}")
+        return (np.load(slab_p, mmap_mode="r"), np.load(starts_p),
+                int(meta["shift"]))
+
+    def _save_packed_sidecar(self, avg: int, trip):
+        import json
+        paths = self._sidecar_paths(avg)
+        if paths is None:
+            return
+        slab_p, starts_p, meta_p = paths
+        slab, starts, shift = trip
+        np.save(slab_p, slab)
+        np.save(starts_p, starts)
+        meta = {"shift": shift, "avg": avg,
+                "sha256": {"slab": _file_sha256(slab_p),
+                           "starts": _file_sha256(starts_p)}}
+        with open(meta_p, "w") as fh:
+            json.dump(meta, fh)
+
+
+def decode_packed_pos(pos: int, starts, maxlen: int, perm) -> int | None:
+    """Padded packed-slab position -> baby index j (1-based): entries are
+    bucket-contiguous in sorted order, so sorted index = starts[bucket] +
+    slot; None for padded-sentinel false positives (slot past the bucket's
+    real count) — the 4 B/slot layout's whole position story."""
+    bucket, slot = divmod(int(pos), maxlen)
+    if bucket + 1 >= len(starts):
+        return None
+    sidx = int(starts[bucket]) + slot
+    if sidx >= int(starts[bucket + 1]):
+        return None
+    return int(perm[sidx]) + 1
 
 
 def default_depth(m: int) -> int:
@@ -245,6 +343,7 @@ def _save_table_dir(tbl: BabyTable, dirpath: str) -> str:
     meta = {"m": tbl.m, "depth": tbl.depth, "sha256": sums}
     with open(os.path.join(dirpath, "meta.json"), "w") as fh:
         json.dump(meta, fh)
+    tbl.srcdir = dirpath        # future packed() builds cache on disk here
     return dirpath
 
 
@@ -287,7 +386,8 @@ def _load_table_dir(m: int, dirpath: str, verify: bool = True,
             raise ValueError(f"checksum mismatch in {fp}")
         arrs[name] = np.load(fp, mmap_mode="r" if mmap else None)
     return BabyTable(m=m, t0=arrs["t0"], t1=arrs["t1"], perm=arrs["perm"],
-                     depth=int(meta.get("depth", default_depth(m))))
+                     depth=int(meta.get("depth", default_depth(m))),
+                     srcdir=dirpath, verify=verify)
 
 
 # ---------------------------------------------------------------------------
@@ -339,24 +439,23 @@ class BsgsConfig:
 
 
 def bucket_partitions(tbl: BabyTable, parts: int):
-    """Split the direct-indexed bucket slabs into `parts` value-contiguous
+    """Split the PACKED bucket slab into `parts` value-contiguous
     partitions: partition p holds global bucket rows [p*per, (p+1)*per).
-    Returns ([(slab0_p, slab1_p, base_row)], permpad, shift) — permpad is
-    the GLOBAL padded position→j permutation shared by all partitions (the
-    ranged probe reports global padded positions)."""
-    slab0, slab1, permpad, shift = tbl.buckets()
-    nb, maxlen = slab0.shape
+    Returns ([(slab_p, base_row)], starts, shift) — starts is the GLOBAL
+    bucket prefix shared by all partitions (the ranged probe reports
+    global padded positions; tbl.pos_to_j maps them to baby indices)."""
+    slab, starts, shift = tbl.packed()
+    nb, maxlen = slab.shape
     if nb % parts:
         pad = parts - nb % parts
         fill = np.full((pad, maxlen), 0xFFFFFFFF, np.uint32)
-        slab0 = np.concatenate([slab0, fill])
-        slab1 = np.concatenate([slab1, fill])
-        permpad = np.concatenate([permpad, np.zeros(pad * maxlen, np.uint32)])
+        slab = np.concatenate([np.asarray(slab), fill])
+        starts = np.concatenate(
+            [starts, np.full(pad, starts[-1], starts.dtype)])
         nb += pad
     per = nb // parts
-    out = [(slab0[p * per:(p + 1) * per], slab1[p * per:(p + 1) * per],
-            p * per) for p in range(parts)]
-    return out, permpad, shift
+    out = [(slab[p * per:(p + 1) * per], p * per) for p in range(parts)]
+    return out, starts, shift
 
 
 @functools.lru_cache(maxsize=None)
@@ -372,9 +471,10 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
     inversion (2 kernel launches) plus ~a dozen fusions PER STEP — 19 M
     giant points/s measured, launch-bound. The Jacobian walk is one
     kernel per CALL plus one shared inversion, so per-call cost is nearly
-    independent of S. Probe rationale unchanged (bucket slabs, see
-    ops.match.build_buckets); slabs ride as runtime args, `shift` keys
-    the compile cache.
+    independent of S. The probe runs against the PACKED slab (4 B/slot,
+    ops.match.build_buckets_packed — bucket-implied prefix bits are not
+    stored, which is what fits m = 2^30+ in one chip's HBM); the slab
+    rides as a runtime arg, `shift` keys the compile cache.
 
     Outputs: top-K flat hit indices into the (S, L) query space + their
     padded slab positions + count (1,), and per step up to DEGEN_SLOTS
@@ -413,17 +513,17 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
             count.astype(jnp.uint32).reshape(1),
             flags.astype(jnp.uint32).reshape(-1)])
 
-    def run(X, Y, Z, slab0, slab1):
+    def run(X, Y, Z, slab):
         Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
-        hit, pos = match.probe_buckets(slab0, slab1, w0, w1, shift)
+        hit, pos = match.probe_buckets_packed(slab, w0, w1, shift)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
-    def run_ranged(X, Y, Z, slab0, slab1, base):
-        # partition probe: slabs hold global bucket rows [base, base+per)
+    def run_ranged(X, Y, Z, slab, base):
+        # partition probe: slab holds global bucket rows [base, base+per)
         Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
-        hit, pos = match.probe_buckets_ranged(slab0, slab1, w0, w1, shift,
-                                              base)
+        hit, pos = match.probe_buckets_packed_ranged(slab, w0, w1, shift,
+                                                     base)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
@@ -524,7 +624,7 @@ class BsgsEngine:
 
     def _build_passes(self):
         """Probe tables per search pass, tagged ("tbl", t0, t1, perm) or
-        ("part", slab0, slab1, base, permpad, shift).
+        ("part", slab, base, starts, shift).
 
         One pass (the whole sorted table) for every scheduler except:
         - ggsb, which splits the BABY INDICES into blocks: pass b probes
@@ -544,10 +644,10 @@ class BsgsEngine:
                                  "is not supported yet: mesh sharding "
                                  "already spreads the table over aggregate "
                                  "HBM — partition only past that")
-            parts, permpad, shift = bucket_partitions(
+            parts, starts, shift = bucket_partitions(
                 tbl, self.cfg.table_partitions)
-            return [("part", s0, s1, base, permpad, shift)
-                    for s0, s1, base in parts]
+            return [("part", slab, base, starts, shift)
+                    for slab, base in parts]
         if self.cfg.scheduler != "ggsb":
             return [("tbl", tbl.t0, tbl.t1, tbl.perm)]
         count, size = self.cfg.ggsb_blocks()
@@ -570,16 +670,21 @@ class BsgsEngine:
 
     def _set_pass(self, entry):
         """Activate one pass. "tbl" passes convert the sorted arrays to the
-        direct-indexed bucket layout; "part" passes bind one resident
-        bucket partition + its base row (base is a runtime argument, so
-        all partitions share ONE compile). Single-device: slabs ride as
-        runtime jit arguments. Multi-device: rebuild the sharded stepper
-        (cached by slab geometry, parallel.bsgs_sharded)."""
+        packed direct-indexed bucket layout; "part" passes bind one
+        resident packed partition + its base row (base is a runtime
+        argument, so all partitions share ONE compile). Single-device: the
+        slab rides as a runtime jit argument. Multi-device: rebuild the
+        sharded stepper (cached by slab geometry, parallel.bsgs_sharded).
+        Each pass installs `self._pos_to_j`, the host decode from padded
+        slab positions to baby indices (None = sentinel false positive)."""
         if entry[0] == "part":
-            _, slab0, slab1, base, permpad, shift = entry
-            self._t0, self._t1 = jnp.asarray(slab0), jnp.asarray(slab1)
+            _, slab, base, starts, shift = entry
+            self._slab = jnp.asarray(slab)
             self._base = jnp.int32(base)
-            self._perm = permpad
+            maxlen = slab.shape[1]
+            perm = self.tbl.perm
+            self._pos_to_j = lambda pos: decode_packed_pos(
+                pos, starts, maxlen, perm)
             self.step_fn = make_giant_step_fn(
                 self.cfg, len(self.targets), shift, ranged=True)
             return
@@ -592,13 +697,14 @@ class BsgsEngine:
             from ..parallel.bsgs_sharded import make_sharded_giant_step
             self.step_fn = make_sharded_giant_step(
                 self.cfg, sub, self.mesh, len(self.targets))
-            self._perm = self.step_fn.perm      # padded slot space
-            self._t0 = self._t1 = None
+            self._pos_to_j = self.step_fn.pos_to_j
+            self._slab = None
         else:
             # whole-table pass: the device-resident slab cache lives on
             # the (possibly shared) BabyTable, so daemon queries reuse
             # one upload; ggsb sub-tables build their own slabs.
-            self._t0, self._t1, self._perm, shift = sub.device_buckets()
+            self._slab, starts, shift = sub.device_packed()
+            self._pos_to_j = sub.pos_to_j
             self.step_fn = make_giant_step_fn(
                 self.cfg, len(self.targets), shift)
 
@@ -609,12 +715,12 @@ class BsgsEngine:
         tuple on the sharded path. Single-device state is Jacobian
         (X, Y, Z); the sharded path still walks affine (px, py)."""
         if self._base is not None:
-            out = self.step_fn(*state, self._t0, self._t1, self._base)
+            out = self.step_fn(*state, self._slab, self._base)
             return out[:3], out[3]
         if self.n_devices > 1:
             out = self.step_fn(*state)
-            return out[:2], out[2:]
-        out = self.step_fn(*state, self._t0, self._t1)
+            return out[:3], out[3:]
+        out = self.step_fn(*state, self._slab)
         return out[:3], out[3]
 
     def _drain(self, c0, payload):
@@ -644,10 +750,12 @@ class BsgsEngine:
         return self._offsets_cache
 
     def _seed(self, c0: int):
-        """Host: P[t, l] = Q_t - (c0 + l*stride)*G for every target/lane.
-        Exact-landing lanes (Q on a stride center) are recorded as found.
-        Multi-device: global lanes l = d*B + b, columns reordered
-        device-major so P(None, AXIS) hands device d its (T, B) block."""
+        """Host: P[t, l] = Q_t - (c0 + l*stride)*G for every target/lane,
+        as Jacobian state (X, Y, Z=1) — both paths walk the fused
+        Jacobian kernel. Exact-landing lanes (Q on a stride center) are
+        recorded as found. Multi-device: global lanes l = d*B + b,
+        columns reordered device-major so P(None, AXIS) hands device d
+        its (T, B) block."""
         import dataclasses
         D = self.n_devices
         wide = dataclasses.replace(self.cfg, lanes=D * self.cfg.lanes) \
@@ -660,10 +768,12 @@ class BsgsEngine:
                 .transpose(0, 2, 1, 3).reshape(8, -1)
             py = np.asarray(py).reshape(8, T, D, B) \
                 .transpose(0, 2, 1, 3).reshape(8, -1)
-            return px, py
-        # single-device: Jacobian state, Z = 1
+        else:
+            px, py = np.asarray(px), np.asarray(py)
         z = np.zeros((8, px.shape[1]), np.uint32)
         z[0] = 1
+        if D > 1:
+            return px, py, z    # numpy: jit in_shardings place on the mesh
         return jnp.asarray(px), jnp.asarray(py), jnp.asarray(z)
 
     def _record(self, t: int, key: int):
@@ -817,9 +927,12 @@ class BsgsEngine:
                 s, r = divmod(g, Lg)
                 t, lane = self._global_lane(r)
                 c = c0 + (lane + s * DB) * cfg.stride
-                # jsel is the sorted-table position; map to baby index
-                # via the host-resident permutation of the active pass.
-                j = int(self._perm[int(jsel[k])]) + 1
+                # jsel is the padded slab position; the active pass's
+                # host decode maps it to a baby index (None = padded-slot
+                # sentinel false positive, nothing to check).
+                j = self._pos_to_j(int(jsel[k]))
+                if j is None:
+                    continue
                 self._record(t, c - j)
                 self._record(t, c + j)
         # degenerate-lane flags: rows are (device-major ×) steps
@@ -839,6 +952,17 @@ class BsgsEngine:
 # ---------------------------------------------------------------------------
 # CLI entry (keyhunt -m bsgs surface)
 # ---------------------------------------------------------------------------
+
+def auto_lanes(m: int, steps: int, start: int, end: int,
+               cap: int = 32768) -> int:
+    """Range-based giant-lane sizing: cover [start, end] in one dispatch
+    when the range allows, capped at the tuned chip geometry. Results are
+    powers of two in [256, cap], so at most ~8 distinct compiles exist per
+    (m, steps) — the daemon auto-sizes per query and still reuses the jit
+    cache (VERDICT r3 weak #6)."""
+    want = max((end - start) // (2 * m * max(steps, 1)) + 1, 1)
+    return max(256, min(cap, 1 << (want - 1).bit_length()))
+
 
 def derive_m(n_value: int | None, k: int) -> int:
     """Reference parameter mapping (`keyhunt.cpp:1450-1607`): N keys per
@@ -897,8 +1021,7 @@ def run_bsgs_cli(args) -> int:
     steps = max(int(getattr(args, "steps", 16) or 16), 1)
     lanes = int(getattr(args, "lanes", 0) or 0)
     if lanes <= 0:
-        want = (end - start) // (2 * m * steps) + 1
-        lanes = max(256, min(32768, 1 << (want - 1).bit_length()))
+        lanes = auto_lanes(m, steps, start, end)
     cfg = BsgsConfig(m=m, lanes=lanes, steps=steps, scheduler=scheduler,
                      block_count=getattr(args, "bsgs_block_count", 0),
                      block_size=getattr(args, "bsgs_block_size", 0),

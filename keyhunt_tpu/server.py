@@ -27,12 +27,17 @@ from .io.results import ResultSink
 
 class BsgsdServer:
     def __init__(self, tbl: BabyTable, host: str = "127.0.0.1", port: int = 8080,
-                 lanes: int = 1024, steps: int = 8, quiet: bool = True,
+                 lanes: int = 0, steps: int = 8, quiet: bool = True,
                  result_path: str = "KEYFOUNDKEYFOUND.txt",
-                 devices: int | None = None):
+                 devices: int | None = None, max_lanes: int = 32768):
         self.tbl = tbl
         self.host, self.port = host, port
+        # lanes <= 0: auto-size per query to the requested range (powers
+        # of two in [256, max_lanes], so the jit cache still hits — the
+        # CLI's sizing reused per request, search.bsgs.auto_lanes); an
+        # explicit --lanes pins the geometry for every query.
         self.lanes, self.steps = lanes, steps
+        self.max_lanes = max_lanes
         self.quiet = quiet
         self.result_path = result_path
         self.devices = devices          # mesh width for per-request engines
@@ -44,9 +49,12 @@ class BsgsdServer:
     # -- search ------------------------------------------------------------
 
     def search(self, pubkey_hex: str, k_from: int, k_to: int) -> int | None:
+        from .search.bsgs import auto_lanes
         point = ecc.parse_pubkey_hex(pubkey_hex)
         with self._search_lock:
-            cfg = BsgsConfig(m=self.tbl.m, lanes=self.lanes, steps=self.steps)
+            lanes = self.lanes if self.lanes > 0 else auto_lanes(
+                self.tbl.m, self.steps, k_from, k_to, cap=self.max_lanes)
+            cfg = BsgsConfig(m=self.tbl.m, lanes=lanes, steps=self.steps)
             sink = ResultSink(path=self.result_path, quiet=True)
             eng = BsgsEngine(cfg, self.tbl, [point], k_from, k_to,
                              sink=sink, quiet=True, devices=self.devices)
@@ -188,14 +196,30 @@ def main(argv=None) -> int:
     ap.add_argument("-n", "--nvalue", default=None)
     ap.add_argument("-6", dest="skip_checksum", action="store_true")
     ap.add_argument("-S", "--save", action="store_true")
-    ap.add_argument("--lanes", type=int, default=1024)
+    ap.add_argument("-t", "--threads", type=int, default=1,
+                    help="accepted for CLI parity (bsgsd -t); device "
+                         "parallelism is per-chip lanes + --devices mesh")
+    ap.add_argument("-B", "--bsgs-mode", default="sequential",
+                    help="accepted for CLI parity (bsgsd -B); per-request "
+                         "searches walk the range sequentially")
+    ap.add_argument("--lanes", type=int, default=0,
+                    help="giant lanes per query (0 = auto-size to each "
+                         "request's range, capped at --max-lanes)")
+    ap.add_argument("--max-lanes", type=int, default=32768)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--devices", type=int, default=None,
                     help="shard table+lanes across this many devices")
     ap.add_argument("--tmpdir", default=".",
                     help="directory for persisted baby tables (-S)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator (multi-host daemon: "
+                         "run on every host, serve from process 0)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
-    runtime.setup()
+    runtime.setup(coordinator=args.coordinator,
+                  num_processes=args.num_processes,
+                  process_id=args.process_id)
     n_value = int(args.nvalue, 16) if args.nvalue else None
     m = derive_m(n_value, args.kfactor)
     tbl = None
@@ -207,7 +231,8 @@ def main(argv=None) -> int:
         if args.save:
             save_table(tbl, directory=args.tmpdir)
     srv = BsgsdServer(tbl, args.ip, args.port, lanes=args.lanes,
-                      steps=args.steps, quiet=False, devices=args.devices)
+                      steps=args.steps, quiet=False, devices=args.devices,
+                      max_lanes=args.max_lanes)
     srv.serve_forever()
     return 0
 

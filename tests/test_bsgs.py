@@ -166,27 +166,37 @@ def test_bsgs_engine_with_memmap_table():
 
 
 def test_bucket_partitions_cover_table():
-    """Every table entry lives in exactly one partition, at the global
-    bucket row its value routes to, with the shared global permpad
-    mapping its padded position back to the right baby index."""
-    from keyhunt_tpu.search.bsgs import bucket_partitions
+    """Every table entry lives in exactly one packed partition, at the
+    global bucket row its value routes to, with the shared global starts
+    prefix mapping its padded position back to the right baby index."""
+    from keyhunt_tpu.ops import match
+    from keyhunt_tpu.search.bsgs import bucket_partitions, decode_packed_pos
     import numpy as np
     tbl = small_table()
-    parts, permpad, shift = bucket_partitions(tbl, 4)
+    parts, starts, shift = bucket_partitions(tbl, 4)
     maxlen = parts[0][0].shape[1]
     seen = set()
-    for s0, s1, base in parts:
-        for r in range(s0.shape[0]):
-            for s in range(maxlen):
-                w0, w1 = int(s0[r, s]), int(s1[r, s])
-                if w0 == 0xFFFFFFFF and w1 == 0xFFFFFFFF:
-                    continue
-                assert (w0 >> shift) == base + r
-                j = int(permpad[(base + r) * maxlen + s])
-                k = np.where(tbl.perm == j)[0][0]
-                assert int(tbl.t0[k]) == w0 and int(tbl.t1[k]) == w1
-                seen.add((w0, w1, j))
-    assert len(seen) == tbl.m
+    for slab, base in parts:
+        for r in range(slab.shape[0]):
+            gb = base + r
+            if gb + 1 >= len(starts):
+                continue
+            n_real = int(starts[gb + 1]) - int(starts[gb])
+            for s in range(n_real):
+                j = decode_packed_pos(gb * maxlen + s, starts, maxlen,
+                                      tbl.perm)
+                assert j is not None
+                k = int(starts[gb]) + s                  # sorted index
+                assert int(tbl.t0[k]) >> shift == gb     # routing invariant
+                res = match.pack_residual(
+                    np.asarray([tbl.t0[k]], np.uint32),
+                    np.asarray([tbl.t1[k]], np.uint32), shift)[0]
+                assert int(slab[r, s]) == int(res)
+                seen.add(j)
+            if n_real < maxlen:          # padded slots decode to None
+                assert decode_packed_pos(gb * maxlen + n_real, starts,
+                                         maxlen, tbl.perm) is None
+    assert seen == set(range(1, tbl.m + 1))
 
 
 def test_bsgs_partitioned_table_finds_keys():

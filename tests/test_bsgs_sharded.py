@@ -1,5 +1,6 @@
-"""Multi-device BSGS parity on the virtual CPU mesh: table sharded by
-value range, queries all-gathered, hits psum-combined. Must find the same
+"""Multi-device BSGS parity on the virtual CPU mesh: packed bucket slab
+sharded by bucket range, Jacobian lanes walked by the fused giant-scan
+per device, queries all-gathered, hits psum-combined. Must find the same
 keys the single-device engine finds (SURVEY.md §7 step 8)."""
 
 import numpy as np
@@ -8,9 +9,11 @@ from jax.sharding import Mesh
 
 from keyhunt_tpu.parallel.mesh import AXIS
 from keyhunt_tpu.parallel.bsgs_sharded import (
-    shard_buckets, make_sharded_giant_step, seed_lanes_sharded)
+    shard_buckets_packed, make_sharded_giant_step)
+from keyhunt_tpu.ops import match
 from keyhunt_tpu.ref import ecc
-from keyhunt_tpu.search.bsgs import BsgsConfig, build_baby_table
+from keyhunt_tpu.search.bsgs import (BsgsConfig, build_baby_table,
+                                     decode_packed_pos, seed_lanes)
 from conftest import cpu_devices
 import pytest
 
@@ -25,30 +28,37 @@ def _mesh():
     return Mesh(np.array(cpu_devices(D)), (AXIS,))
 
 
-def test_shard_buckets_partitions():
+def test_shard_buckets_packed_partitions():
     tbl = build_baby_table(M, pivots=2, width=32, steps=2)
-    s0, s1, permpad, shift = shard_buckets(tbl, D)
-    Dn, per, maxlen = s0.shape
+    slab, starts, shift = shard_buckets_packed(tbl, D)
+    Dn, per, maxlen = slab.shape
     assert Dn == D
-    assert permpad.shape == (D * per * maxlen,)   # global padded slots
     # every table entry lands on the shard its bucket index routes to,
-    # and the global padded position maps back to the right baby index
-    ent = set()
+    # its stored residual matches pack_residual of the sorted entry, and
+    # the global padded position decodes back to the right baby index
+    seen = set()
     for d in range(D):
         for b in range(per):
-            for s in range(maxlen):
-                w0 = int(s0[d, b, s])
-                w1 = int(s1[d, b, s])
-                if w0 == 0xFFFFFFFF and w1 == 0xFFFFFFFF:
-                    continue
-                gb = w0 >> shift
-                assert gb == d * per + b          # routing invariant
+            gb = d * per + b
+            if gb + 1 >= len(starts):
+                continue
+            n_real = int(starts[gb + 1]) - int(starts[gb])
+            for s in range(n_real):
                 gpos = gb * maxlen + s
-                j = int(permpad[gpos])
-                k = np.where(tbl.perm == j)[0][0]
-                assert int(tbl.t0[k]) == w0 and int(tbl.t1[k]) == w1
-                ent.add((w0, w1, j))
-    assert len(ent) == M                          # nothing lost or duplicated
+                j = decode_packed_pos(gpos, starts, maxlen, tbl.perm)
+                assert j is not None
+                k = int(starts[gb]) + s               # sorted index
+                res = match.pack_residual(
+                    np.asarray([tbl.t0[k]], np.uint32),
+                    np.asarray([tbl.t1[k]], np.uint32), shift)[0]
+                assert int(slab[d, b, s]) == int(res)
+                assert int(tbl.t0[k]) >> shift == gb  # routing invariant
+                seen.add(j)
+            # padded slots decode to None (sentinel false positives)
+            if n_real < maxlen:
+                assert decode_packed_pos(gb * maxlen + n_real, starts,
+                                         maxlen, tbl.perm) is None
+    assert seen == set(range(1, M + 1))        # nothing lost or duplicated
 
 
 def test_sharded_bsgs_finds_keys():
@@ -66,14 +76,24 @@ def test_sharded_bsgs_finds_keys():
             if ecc.pubkey(cand) == targets[t]:
                 found[t] = cand
 
+    import dataclasses
     B = cfg.lanes
     TB = len(targets) * B
     stride = cfg.stride                            # 512 keys per center
     span = D * B * cfg.steps * stride              # keys per dispatch/target
     c0 = 1 + M
-    px, py = seed_lanes_sharded(cfg, targets, c0, D, record_cb=record)
+    # seed T*(D*B) lanes target-major, reorder device-major (d, t, b) and
+    # lift to Jacobian Z=1 — exactly BsgsEngine._seed's layout
+    wide = dataclasses.replace(cfg, lanes=D * B)
+    px, py = seed_lanes(wide, targets, c0, on_exact=record)
+    px = np.asarray(px).reshape(8, len(targets), D, B) \
+        .transpose(0, 2, 1, 3).reshape(8, -1)
+    py = np.asarray(py).reshape(8, len(targets), D, B) \
+        .transpose(0, 2, 1, 3).reshape(8, -1)
+    pz = np.zeros_like(px)
+    pz[0] = 1
     while c0 < 16384 and len(found) < len(targets):
-        px, py, lanes, jsel, counts, flags = step(px, py)
+        px, py, pz, lanes, jsel, counts, flags = step(px, py, pz)
         lanes = np.asarray(lanes)
         jsel = np.asarray(jsel)
         # flat hit indices into the (S, D*TB) query space (step-major,
@@ -87,8 +107,10 @@ def test_sharded_bsgs_finds_keys():
             t, b = divmod(r, B)
             g = d * B + b
             c = c0 + (g + s * D * B) * stride
-            # jsel is a global sorted position; host perm maps to j
-            j = int(step.perm[int(jsel[k])]) + 1
+            # jsel is a global padded slab position; pos_to_j maps to j
+            j = step.pos_to_j(int(jsel[k]))
+            if j is None:
+                continue
             record(t, c - j)
             record(t, c + j)
         c0 += span

@@ -153,7 +153,9 @@ def test_pallas_tile_selection():
     from keyhunt_tpu.ops import pallas_hash
     assert pallas_hash._pick_tile(384, None) == 384
     assert pallas_hash._pick_tile(8192, None) == 8192
-    assert pallas_hash._pick_tile(8192 + 128, None) == 128
+    # 8320 = 65*128: the divisor-seeking picker returns the largest
+    # 128-multiple divisor <= TILE (13*128), not the 128 floor
+    assert pallas_hash._pick_tile(8192 + 128, None) == 13 * 128
     assert pallas_hash._pick_tile(1 << 18, None) == 8192
     with pytest.raises(ValueError):
         pallas_hash._pick_tile(200, None)

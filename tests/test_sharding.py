@@ -41,8 +41,8 @@ def test_sharded_walker_8_devices():
     t0, t1 = match.build_table(pairs)
     step = make_sharded_step_fn(cfg, t0, t1, _mesh(n))
     px, py = seed_pivots_sharded(cfg, k0, n)
-    px2, py2, hits, counts, total = step(px, py)
-    hits = np.asarray(hits)       # (n*S, K)
+    px2, py2, packed, total = step(px, py)
+    hits = np.asarray(packed)[:, :-1]   # (n*S, K); last col is the count
     total = int(np.asarray(total)[0])
     assert total >= len(plant)
     want_x = {ecc.pubkey(p)[0] for p in plant}
@@ -66,7 +66,7 @@ def test_sharded_pivot_state_advances():
     step = make_sharded_step_fn(cfg, t0, t1, _mesh(n))
     k0 = 1024   # past the (G*W + G - 1) floor for G = 16 global pivots
     px, py = seed_pivots_sharded(cfg, k0, n)
-    px2, py2, hits, counts, total = step(px, py)
+    px2, py2, packed, total = step(px, py)
     assert int(np.asarray(total)[0]) == 0
     from keyhunt_tpu.ops import u256
     got = u256.to_ints(np.asarray(px2))

@@ -67,13 +67,14 @@ def main():
     dt = timeit(lambda a: (topk(a),), (jnp.zeros(B, jnp.uint32),))
     print(f"topk(gated)      {dt*1e3:8.3f} ms", flush=True)
 
-    # the PRODUCT probe: direct-indexed bucket slabs (one gather + compare)
-    slab0, slab1, _permpad, shift = tbl.buckets()
-    s0_, s1_ = jnp.asarray(slab0), jnp.asarray(slab1)
-    pb = jax.jit(lambda s0c, s1c, a, b:
-                 match.probe_buckets(s0c, s1c, a, b, shift))
-    dt = timeit(lambda a, b: pb(s0_, s1_, a, b), (w0, w1))
-    print(f"probe_buckets    {dt*1e3:8.3f} ms  ({B/dt/1e6:.1f} M queries/s)",
+    # the PRODUCT probe: PACKED direct-indexed bucket slab (one gather
+    # of 4 B/slot rows + residual compare)
+    slab, _starts, shift = tbl.packed()
+    s_ = jnp.asarray(slab)
+    pb = jax.jit(lambda sc, a, b:
+                 match.probe_buckets_packed(sc, a, b, shift))
+    dt = timeit(lambda a, b: pb(s_, a, b), (w0, w1))
+    print(f"probe_packed     {dt*1e3:8.3f} ms  ({B/dt/1e6:.1f} M queries/s)",
           flush=True)
 
     # giant-step pieces at product geometry: full step vs probe-free walk
@@ -87,7 +88,7 @@ def main():
     z0 = np.zeros((8, B), np.uint32)
     z0[0] = 1
     z0 = jnp.asarray(z0)
-    dt = timeit(lambda px, py, pz: step(px, py, pz, s0_, s1_),
+    dt = timeit(lambda px, py, pz: step(px, py, pz, s_),
                 (px0, py0, z0), iters=10)
     print(f"giant step FULL  {dt*1e3:8.3f} ms  "
           f"({B*S/dt/1e6:.1f} M giant points/s)", flush=True)

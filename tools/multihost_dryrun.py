@@ -32,9 +32,14 @@ def child(proc_id: int, nprocs: int, port: int) -> int:
     # before exec — a sitecustomize on this image initializes JAX at
     # interpreter startup, so in-process os.environ edits come too late.
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # the PRODUCT multi-host entry: runtime.setup initializes
+    # jax.distributed (the CLI's --coordinator/--num-processes/--process-id
+    # path) and the persistent compile cache (XLA:CPU pays minutes for the
+    # BSGS graph on first compile; later runs hit the cache)
+    from keyhunt_tpu import runtime
+    runtime.setup(coordinator=f"127.0.0.1:{port}",
+                  num_processes=nprocs, process_id=proc_id)
     import jax
-    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
-                               num_processes=nprocs, process_id=proc_id)
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
@@ -74,12 +79,38 @@ def child(proc_id: int, nprocs: int, port: int) -> int:
             a.shape, sh, lambda idx: np.ascontiguousarray(a[idx]))
 
     px, py = mk(np.asarray(px_np)), mk(np.asarray(py_np))
-    px2, py2, hits, counts, total = step(px, py)
+    px2, py2, packed, total = step(px, py)
     jax.block_until_ready((px2, py2, total))
     got = int(np.asarray(total)[0])
     assert got == n_global, f"proc {proc_id}: total {got} != {n_global}"
-    print(f"[proc {proc_id}] OK: {got} planted hits visible globally "
-          f"across {nprocs} processes x {DEVS_PER_PROC} devices", flush=True)
+    # replicated hit rows must be fetchable from every process
+    packed_np = np.asarray(packed)
+    assert packed_np.shape[0] == n_global * cfg.steps
+    assert int(packed_np[:, -1].sum()) == n_global
+    print(f"[proc {proc_id}] walker OK: {got} planted hits visible "
+          f"globally across {nprocs} processes x {DEVS_PER_PROC} devices",
+          flush=True)
+
+    # -- BSGS: packed baby-table shards spread over BOTH processes' ------
+    # devices, Jacobian lanes striped, hits psum'd across the DCN
+    # boundary; the PRODUCT engine end-to-end (VERDICT r3 next-steps #5)
+    import tempfile
+    from keyhunt_tpu.io.results import ResultSink
+    from keyhunt_tpu.search.bsgs import (BsgsConfig, BsgsEngine,
+                                         build_baby_table)
+    tbl = build_baby_table(256, pivots=2, width=32, steps=2)
+    bkeys = [5000, 12345]
+    bcfg = BsgsConfig(m=256, lanes=2, steps=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        beng = BsgsEngine(bcfg, tbl, [ecc.pubkey(k) for k in bkeys],
+                          1, 16384, quiet=True, devices=n_global,
+                          sink=ResultSink(path=os.path.join(tmp, "f.txt"),
+                                          quiet=True))
+        found = beng.run()
+    assert sorted(found.values()) == sorted(bkeys), \
+        f"proc {proc_id}: BSGS found {found}"
+    print(f"[proc {proc_id}] bsgs OK: {len(found)}/{len(bkeys)} keys via "
+          f"the {n_global}-device table-sharded engine", flush=True)
     return 0
 
 
