@@ -88,8 +88,9 @@ def bench_bsgs(args, emit=True):
     if args.verbose:
         print(f"[bench] baby table m=2^{cfg.m.bit_length()-1} ready in "
               f"{time.time()-t_b:.1f}s", file=sys.stderr, flush=True)
+    from keyhunt_tpu.runtime import fast_put
     slab, _starts, shift = tbl.packed()
-    s_ = jnp.asarray(slab)
+    s_ = fast_put(slab)
     step = make_giant_step_fn(cfg, 1, shift)
     # one unreachable target point far outside the walked window
     import numpy as np

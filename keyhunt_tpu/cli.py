@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BSGS over-HBM regime: keep 1/N of the baby table "
                         "device-resident and sweep the range N times (the "
                         "role of the reference's mmap'd chunked blooms)")
+    p.add_argument("--dtable", action="store_true",
+                   help="BSGS: build the baby table ENTIRELY on the device "
+                        "(no disk cache, no host->device upload; fastest "
+                        "cold start). 8 B/slot vs the host table's 4, so "
+                        "max m halves; incompatible with -S/--ggsb/"
+                        "--table-partitions/--devices>1")
     p.add_argument("--rmd-batch-size", type=int, default=None,
                    help="accepted for parity; device batch is --pivots*--width")
     # reference mapped-bloom flag family (keyhunt.cpp:724-830, README:35-62):

@@ -48,3 +48,79 @@ def setup(cache_dir: str | None = None, coordinator: str | None = None,
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _DONE = True
+
+
+#: rows per chunk of a fast_put transfer (chunks overlap in flight)
+_PUT_CHUNK_BYTES = 32 << 20
+
+
+def fast_put(arr, verify: bool = True):
+    """Host array -> device array via CHUNKED CONCURRENT transfers.
+
+    On the tunneled runtime a single device_put of a multi-GB array
+    crawls at ~25 MB/s (the transfer serializes through small windows),
+    but ~32 MB chunks issued back-to-back pipeline at >1.3 GB/s — 53x,
+    measured on a 256 MB probe. This is what makes multi-GB cached baby
+    tables loadable in seconds instead of minutes (a 5.5 GiB slab:
+    223 s -> ~5 s). The chunks are concatenated on device (transient 2x
+    footprint) and, with verify=True, a device checksum is fetched and
+    compared against the host's — guarding against any async-transfer
+    short-read on the experimental runtime."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import functools
+    if isinstance(arr, np.memmap):
+        # materialize BEFORE transferring: puts that page from disk at
+        # fault time crawl at the pagefault rate (~26 MB/s measured on a
+        # 5.5 GiB slab) — an explicit sequential read runs at disk speed
+        arr = np.array(arr)
+    else:
+        arr = np.ascontiguousarray(arr)
+    if arr.nbytes <= _PUT_CHUNK_BYTES or arr.ndim == 0:
+        return jax.device_put(arr)
+    rows_per = max(int(_PUT_CHUNK_BYTES // max(arr.nbytes // arr.shape[0], 1)),
+                   1)
+
+    # assemble IN PLACE: the buffer is donated, so every update writes
+    # into the same allocation — a device-side concatenate would need
+    # inputs + output live at once (2x the array, which OOMs a 16 GB chip
+    # on a ~6 GiB slab; measured)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _upd(buf, chunk, row0):
+        start = (row0,) + (0,) * (arr.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, chunk, start)
+
+    # two-phase batches: STAGE a batch of chunks with concurrent
+    # device_puts (they pipeline at >1.3 GB/s; interleaving puts with
+    # updates serializes the tunnel back to ~25 MB/s — measured), then
+    # fold them into the donated buffer (device-local DMA). Peak HBM =
+    # buffer + one staged batch.
+    out = jnp.zeros(arr.shape, dtype=arr.dtype)
+    starts = list(range(0, arr.shape[0], rows_per))
+    BATCH = 16
+    for b in range(0, len(starts), BATCH):
+        idxs = starts[b:b + BATCH]
+        staged = [jax.device_put(arr[i:i + rows_per]) for i in idxs]
+        for d in staged:
+            d.block_until_ready()
+        for i, d in zip(idxs, staged):
+            # the tail chunk has its own shape -> its own (tiny) compile
+            out = _upd(out, d, np.int32(i))
+        del staged
+    out.block_until_ready()
+    if verify:
+        # axis-wise reduction: a flat reshape of a non-lane-aligned array
+        # would materialize a second full-size copy on TPU (tiled layout)
+        red = out
+        while red.ndim > 1:
+            red = jnp.sum(red, axis=-1, dtype=jnp.uint32)
+        dev = int(np.asarray(jnp.sum(red, axis=0, dtype=jnp.uint32,
+                                     keepdims=True))[0])
+        host = int(np.sum(arr.reshape(-1).view(np.uint32), dtype=np.uint32))
+        if dev != host:
+            raise RuntimeError(
+                f"fast_put checksum mismatch (device {dev:#x} != host "
+                f"{host:#x}): chunked transfer corrupted")
+    return out

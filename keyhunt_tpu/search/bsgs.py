@@ -128,11 +128,14 @@ class BabyTable:
 
     def device_packed(self, avg: int | None = None):
         """(slab_dev, starts, shift) with the slab device-resident, cached
-        (same daemon economics as device_buckets)."""
+        (same daemon economics as device_buckets). Multi-GB slabs ride the
+        chunked concurrent transfer (runtime.fast_put: >1.3 GB/s vs the
+        ~25 MB/s a single put crawls at on the tunneled runtime)."""
         cached = getattr(self, "_dev_packed", None)
         if cached is None:
+            from ..runtime import fast_put
             slab, starts, shift = self.packed(avg)
-            cached = (jnp.asarray(slab), starts, shift)
+            cached = (fast_put(np.asarray(slab)), starts, shift)
             self._dev_packed = cached
         return cached
 
@@ -650,6 +653,9 @@ class BsgsEngine:
                     for slab, base in parts]
         if self.cfg.scheduler != "ggsb":
             return [("tbl", tbl.t0, tbl.t1, tbl.perm)]
+        if tbl.perm is None:
+            raise ValueError("ggsb needs the host baby table "
+                             "(--dtable has no host index)")
         count, size = self.cfg.ggsb_blocks()
         if count <= 1:
             return [("tbl", tbl.t0, tbl.t1, tbl.perm)]
@@ -678,8 +684,9 @@ class BsgsEngine:
         Each pass installs `self._pos_to_j`, the host decode from padded
         slab positions to baby indices (None = sentinel false positive)."""
         if entry[0] == "part":
+            from ..runtime import fast_put
             _, slab, base, starts, shift = entry
-            self._slab = jnp.asarray(slab)
+            self._slab = fast_put(np.asarray(slab))
             self._base = jnp.int32(base)
             maxlen = slab.shape[1]
             perm = self.tbl.perm
@@ -1002,7 +1009,16 @@ def run_bsgs_cli(args) -> int:
     # --tmpdir (the role of the reference's --ptable file, keyhunt.cpp:1844).
     path = getattr(args, "ptable", None) or table_path(m, tdir)
     tbl = None
-    if args.save or getattr(args, "load_ptable", False):
+    if getattr(args, "dtable", False):
+        # device-resident build: no disk, no upload (search.dtable)
+        if args.save or getattr(args, "load_ptable", False):
+            raise SystemExit("[E] --dtable builds in device memory; "
+                             "-S/--load-ptable do not apply")
+        if getattr(args, "table_partitions", 0) > 1 or devices > 1:
+            raise SystemExit("[E] --dtable supports a single resident "
+                             "device for now")
+        from .dtable import build_device_table
+        tbl = build_device_table(m, progress=not args.quiet)
         tbl = load_table(m, path=path, verify=not args.skip_checksum)
         if tbl is not None:
             print(f"[+] loaded baby table {path}", flush=True)

@@ -28,3 +28,19 @@ def test_is_valid_hex():
 
 def test_get_total_ram():
     assert get_total_ram() > 0
+
+
+def test_fast_put_chunked_roundtrip(monkeypatch):
+    """runtime.fast_put must assemble chunked transfers bit-exactly (and
+    its checksum must pass) — exercised with a tiny chunk size so the
+    donated in-place update path runs on CPU."""
+    import numpy as np
+    from keyhunt_tpu import runtime
+    monkeypatch.setattr(runtime, "_PUT_CHUNK_BYTES", 1 << 10)
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**32, size=(37, 19), dtype=np.uint64).astype(np.uint32)
+    d = runtime.fast_put(a)
+    assert np.array_equal(np.asarray(d), a)
+    # small arrays take the single-put path
+    b = rng.integers(0, 2**32, size=(4,), dtype=np.uint64).astype(np.uint32)
+    assert np.array_equal(np.asarray(runtime.fast_put(b)), b)
