@@ -218,6 +218,29 @@ def probe_buckets_packed(slab, w0, w1, shift: int):
     return hit, pos
 
 
+def probe_buckets_packed_flat(slab_flat, maxlen: int, w0, w1, shift: int):
+    """Packed probe against a FLAT (nb*maxlen,) slab. The device-built
+    table (search.dtable) keeps its slabs 1-D: XLA's 2-D scatter lowering
+    inserts a full flattening reshape of the operand — a relayout that
+    costs a slab-sized HLO temp (6 GiB at m=2^30, OOM on a 16 GB chip) —
+    while 1-D scatters update in place. The row read here is a windowed
+    `lax.gather` (contiguous maxlen-slices), the moral equivalent of the
+    2-D row gather."""
+    bidx = jax.lax.shift_right_logical(w0, jnp.uint32(shift)).astype(jnp.int32)
+    res = pack_residual(w0, w1, shift)
+    starts = (bidx * np.int32(maxlen))[:, None]            # (Bq, 1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    row = jax.lax.gather(slab_flat, starts, dn,
+                         slice_sizes=(maxlen,),
+                         mode=jax.lax.GatherScatterMode.CLIP)
+    eq = row == res[:, None]
+    hit = eq.any(axis=1)
+    slot = jnp.argmax(eq, axis=1).astype(U32)
+    pos = bidx.astype(U32) * np.uint32(maxlen) + slot
+    return hit, pos
+
+
 def probe_buckets_packed_ranged(slab, w0, w1, shift: int, base):
     """Packed probe against a PARTITION: slab holds global bucket rows
     [base, base + per); base is a TRACED int32 scalar (one compile per

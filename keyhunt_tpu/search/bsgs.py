@@ -463,7 +463,7 @@ def bucket_partitions(tbl: BabyTable, parts: int):
 
 @functools.lru_cache(maxsize=None)
 def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
-                       ranged: bool = False):
+                       ranged: bool = False, flat_maxlen: int | None = None):
     """Jitted giant walk: state (X, Y, Z) of T*B JACOBIAN lanes; the fused
     scan kernel (ops.jacwalk) advances every lane by -(B*2m)*G per inner
     step WITHOUT any inversion, stacking each step's (X, Z); ONE deferred
@@ -518,7 +518,11 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
 
     def run(X, Y, Z, slab):
         Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
-        hit, pos = match.probe_buckets_packed(slab, w0, w1, shift)
+        if flat_maxlen is not None:      # device-built flat slab (dtable)
+            hit, pos = match.probe_buckets_packed_flat(
+                slab, flat_maxlen, w0, w1, shift)
+        else:
+            hit, pos = match.probe_buckets_packed(slab, w0, w1, shift)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
@@ -709,11 +713,13 @@ class BsgsEngine:
         else:
             # whole-table pass: the device-resident slab cache lives on
             # the (possibly shared) BabyTable, so daemon queries reuse
-            # one upload; ggsb sub-tables build their own slabs.
+            # one upload; ggsb sub-tables build their own slabs. Device-
+            # built tables (dtable) carry a FLAT slab + maxlen.
             self._slab, starts, shift = sub.device_packed()
             self._pos_to_j = sub.pos_to_j
             self.step_fn = make_giant_step_fn(
-                self.cfg, len(self.targets), shift)
+                self.cfg, len(self.targets), shift,
+                flat_maxlen=getattr(sub, "maxlen", None))
 
     def _dispatch(self, state):
         """One device call. Returns (new_state, payload): payload is the
@@ -961,12 +967,18 @@ class BsgsEngine:
 # ---------------------------------------------------------------------------
 
 def auto_lanes(m: int, steps: int, start: int, end: int,
-               cap: int = 32768) -> int:
+               cap: int = 32768, n_targets: int = 1) -> int:
     """Range-based giant-lane sizing: cover [start, end] in one dispatch
     when the range allows, capped at the tuned chip geometry. Results are
     powers of two in [256, cap], so at most ~8 distinct compiles exist per
     (m, steps) — the daemon auto-sizes per query and still reuses the jit
-    cache (VERDICT r3 weak #6)."""
+    cache (VERDICT r3 weak #6).
+
+    The cap applies to the TOTAL device batch (T targets x B lanes share
+    one dispatch): 16 targets at the full 32768 would be a 0.5M-lane
+    batch whose emission buffers alone exceed HBM next to a resident
+    m=2^30 table."""
+    cap = max(cap // max(n_targets, 1), 256)
     want = max((end - start) // (2 * m * max(steps, 1)) + 1, 1)
     return max(256, min(cap, 1 << (want - 1).bit_length()))
 
@@ -1019,6 +1031,7 @@ def run_bsgs_cli(args) -> int:
                              "device for now")
         from .dtable import build_device_table
         tbl = build_device_table(m, progress=not args.quiet)
+    elif args.save or getattr(args, "load_ptable", False):
         tbl = load_table(m, path=path, verify=not args.skip_checksum)
         if tbl is not None:
             print(f"[+] loaded baby table {path}", flush=True)
@@ -1037,7 +1050,7 @@ def run_bsgs_cli(args) -> int:
     steps = max(int(getattr(args, "steps", 16) or 16), 1)
     lanes = int(getattr(args, "lanes", 0) or 0)
     if lanes <= 0:
-        lanes = auto_lanes(m, steps, start, end)
+        lanes = auto_lanes(m, steps, start, end, n_targets=len(pts))
     cfg = BsgsConfig(m=m, lanes=lanes, steps=steps, scheduler=scheduler,
                      block_count=getattr(args, "bsgs_block_count", 0),
                      block_size=getattr(args, "bsgs_block_size", 0),

@@ -10,8 +10,12 @@ cost instead of optimizing it: the baby table is built entirely in HBM
 by the same batched EC walk that powers the search, with NO sort over m
 and NO host arrays.
 
-Layout: two (nb, maxlen) uint32 slabs, direct-indexed by bucket
-(= w0 >> shift, exactly like ops.match.build_buckets_packed):
+Layout: two FLAT (nb*maxlen,) uint32 slabs, direct-indexed by bucket
+(= w0 >> shift, exactly like ops.match.build_buckets_packed; kept 1-D
+because XLA's 2-D scatter lowering inserts a full flattening reshape of
+the operand — a slab-sized relayout temp that OOMs a 16 GB chip at
+m=2^30, seen in the allocation report — while 1-D scatters update in
+place):
 - res_slab: the 32-bit fragment residual (bucket-implied bits dropped);
 - j_slab: the baby index j-1 for that slot (0xFFFFFFFF = empty).
 
@@ -31,8 +35,9 @@ Construction per batch (one jitted, donated step — `_build_step`):
    slot = fill[bucket] + rank;
 4. scatter residuals and j into the slabs (chunked: XLA:TPU scatter
    compile time scales with update count — 64Ki-update scatters compile
-   in seconds and run at ~162 M updates/s measured on the chip; a single
-   512Ki-update scatter took >20 min to compile);
+   in seconds; a single 512Ki-update scatter took >20 min to compile,
+   and an indices_are_sorted variant with a windowed row-count gather
+   never finished compiling in 40 min — measured; keep the plain form);
 5. fill += per-bucket counts (chunked scatter-add).
 
 maxlen is NOT measured (that would cost a second walk): bucket loads are
@@ -83,12 +88,13 @@ class DeviceTable:
     t0 = t1 = perm = None
     depth = 0
 
-    def __init__(self, m: int, res_slab, j_slab, shift: int,
+    def __init__(self, m: int, res_slab, j_slab, shift: int, maxlen: int,
                  overflow: int = 0):
         self.m = m
-        self.res_slab = res_slab          # device (nb, maxlen) uint32
-        self.j_slab = j_slab              # device (nb, maxlen) uint32
+        self.res_slab = res_slab          # device FLAT (nb*maxlen,) uint32
+        self.j_slab = j_slab              # device FLAT (nb*maxlen,) uint32
         self.shift = shift
+        self.maxlen = maxlen
         self.overflow = overflow
 
     def device_packed(self, avg: int | None = None):
@@ -100,9 +106,7 @@ class DeviceTable:
     def pos_to_j(self, pos: int) -> int | None:
         """Padded position -> baby j via ONE tiny device gather (rare:
         only called for actual probe hits)."""
-        maxlen = self.res_slab.shape[1]
-        bucket, slot = divmod(int(pos), maxlen)
-        j = int(np.asarray(self.j_slab[bucket, slot]))
+        j = int(np.asarray(self.j_slab[int(pos)]))
         return None if j == 0xFFFFFFFF else j + 1
 
 
@@ -117,7 +121,6 @@ def _build_step(A: int, W: int, S: int, shift: int, maxlen: int, nb: int):
     span = A * W * S
     chunk = min(_SCATTER_CHUNK, span)          # small test geometries
     assert span % chunk == 0
-    oob = np.int32(nb * maxlen)                # mode="drop" target
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def step(res, jsl, fill, ov, px, py, j0, take):
@@ -155,21 +158,23 @@ def _build_step(A: int, W: int, S: int, shift: int, maxlen: int, nb: int):
         slot = fill[bs.astype(jnp.int32)] + rank
         over = (slot >= np.uint32(maxlen)) & (ks != 0)
         bad = over | (ks == 0)
-        flat = jnp.where(bad, oob,
+        # 1-D flat scatter indices: the slabs are BORN flat (module
+        # docstring); bad entries point past the end and mode="drop"
+        # discards them
+        flat = jnp.where(bad, np.int32(nb * maxlen),
                          bs.astype(jnp.int32) * np.int32(maxlen)
                          + slot.astype(jnp.int32))
         ov = ov + over.sum(dtype=jnp.int32)
-        resf = res.reshape(-1)            # lane-aligned maxlen: free view
-        jsf = jsl.reshape(-1)
         ones = jnp.ones(chunk, U32)
-        badd = jnp.where(keep != 0, b.astype(jnp.int32), oob)
+        badd = jnp.where(keep != 0, b.astype(jnp.int32), np.int32(nb))
         for c in range(0, span, chunk):
             sl = slice(c, c + chunk)
-            resf = resf.at[flat[sl]].set(rs[sl], mode="drop")
-            jsf = jsf.at[flat[sl]].set(js[sl], mode="drop")
+            res = res.at[flat[sl]].set(rs[sl], mode="drop",
+                                       unique_indices=True)
+            jsl = jsl.at[flat[sl]].set(js[sl], mode="drop",
+                                       unique_indices=True)
             fill = fill.at[badd[sl]].add(ones, mode="drop")
-        return (resf.reshape(nb, maxlen), jsf.reshape(nb, maxlen), fill,
-                ov, px2, py2)
+        return res, jsl, fill, ov, px2, py2
 
     return step
 
@@ -183,8 +188,8 @@ def build_device_table(m: int, pivots: int = 64, width: int = 2048,
     assert m > W + 1, "tiny tables: use build_baby_table (host path)"
     nb, shift, maxlen = geometry(m, avg)
     step = _build_step(A, W, S, shift, maxlen, nb)
-    res = jnp.full((nb, maxlen), SENTINEL, U32)
-    jsl = jnp.full((nb, maxlen), SENTINEL, U32)
+    res = jnp.full((nb * maxlen,), SENTINEL, U32)
+    jsl = jnp.full((nb * maxlen,), SENTINEL, U32)
     fill = jnp.zeros((nb,), U32)
     # (1,)-shaped, not rank-0: scalar fetches cost seconds on the
     # tunneled runtime (see search.bsgs.make_giant_step_fn)
@@ -203,11 +208,18 @@ def build_device_table(m: int, pivots: int = 64, width: int = 2048,
     for i in order:
         slot[i] = fill_h[bh[i]]
         fill_h[bh[i]] += 1
-    flat_h = bh * maxlen + slot
-    res = res.reshape(-1).at[jnp.asarray(flat_h)].set(
-        jnp.asarray(resh)).reshape(nb, maxlen)
-    jsl = jsl.reshape(-1).at[jnp.asarray(flat_h)].set(
-        jnp.asarray(np.arange(host_n, dtype=np.uint32))).reshape(nb, maxlen)
+    del order
+
+    # donated flat updates: an undonated .at[].set on a 6 GiB slab would
+    # copy it (see _build_step on why flat + donated)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _apply(buf, flat, vals):
+        return buf.at[flat].set(vals, unique_indices=True)
+
+    flat_h = jnp.asarray((bh * maxlen + slot).astype(np.int32))
+    res = _apply(res, flat_h, jnp.asarray(resh))
+    jsl = _apply(jsl, flat_h,
+                 jnp.asarray(np.arange(host_n, dtype=np.uint32)))
     fill = fill + jnp.asarray(fill_h.astype(np.uint32))
 
     # device part: j = host_n+1 .. m; `take` masks the tail overrun
@@ -231,4 +243,4 @@ def build_device_table(m: int, pivots: int = 64, width: int = 2048,
         print(f"[W] device table dropped {overflow} entries to bucket "
               "overflow — rebuild with a larger avg", flush=True)
     return DeviceTable(m=m, res_slab=res, j_slab=jsl, shift=shift,
-                       overflow=overflow)
+                       maxlen=maxlen, overflow=overflow)

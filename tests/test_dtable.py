@@ -22,9 +22,10 @@ def dtbl():
 
 def test_dtable_holds_every_baby(dtbl):
     host = build_baby_table(M, **GEO)
-    res = np.asarray(dtbl.res_slab)
-    jsl = np.asarray(dtbl.j_slab)
-    nb, maxlen = res.shape
+    maxlen = dtbl.maxlen
+    res = np.asarray(dtbl.res_slab).reshape(-1, maxlen)
+    jsl = np.asarray(dtbl.j_slab).reshape(-1, maxlen)
+    nb = res.shape[0]
     assert dtbl.overflow == 0
     seen = {}
     for b in range(nb):
@@ -52,8 +53,8 @@ def test_dtable_probe_and_decode(dtbl):
         x = ecc.pubkey(j)[0]
         w0 = np.uint32((x >> 224) & 0xFFFFFFFF)
         w1 = np.uint32((x >> 192) & 0xFFFFFFFF)
-        hit, pos = match.probe_buckets_packed(
-            jnp.asarray(dtbl.res_slab), jnp.asarray([w0]),
+        hit, pos = match.probe_buckets_packed_flat(
+            jnp.asarray(dtbl.res_slab), dtbl.maxlen, jnp.asarray([w0]),
             jnp.asarray([w1]), dtbl.shift)
         assert bool(np.asarray(hit)[0])
         assert dtbl.pos_to_j(int(np.asarray(pos)[0])) == j
