@@ -14,6 +14,9 @@ from keyhunt_tpu.search.dtable import DeviceTable, build_device_table, geometry
 M = 512
 GEO = dict(pivots=2, width=32, steps=2)    # span=128 device batches
 
+# the on-device build compiles a real jit graph — slow tier on XLA:CPU
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dtbl():
