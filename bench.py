@@ -271,8 +271,11 @@ def main(argv=None) -> int:
     ap.add_argument("--mode", default="all",
                     choices=["all", "compressed", "xpoint", "uncompressed",
                              "eth", "bsgs", "minikeys", "vanity"])
-    ap.add_argument("--m", type=int, default=1 << 26,
-                    help="bsgs: baby-table size")
+    ap.add_argument("--m", type=int, default=1 << 30,
+                    help="bsgs: baby-table size (the density-regime "
+                         "headline; the m=2^30 table + packed sidecar "
+                         "persist in --tmpdir, so only the first-ever run "
+                         "pays the build)")
     ap.add_argument("--lanes", type=int, default=32768,
                     help="bsgs: giant lanes")
     ap.add_argument("--steps", type=int, default=16, help="bsgs inner steps")
@@ -302,15 +305,20 @@ def main(argv=None) -> int:
         bench_walker(args)
         return 0
 
-    # default: BSGS headline + per-mode secondaries, ONE JSON line
-    walker = bench_walker(args, emit=False)
-    vanity = bench_vanity(args, emit=False)
-    minikeys = bench_minikeys(args, emit=False)
-    bsgs = bench_bsgs(args, emit=False)
-    headline = dict(bsgs)
-    headline["secondary"] = walker
-    headline["vanity"] = vanity
-    headline["minikeys"] = minikeys
+    # default: BSGS headline + per-mode secondaries, ONE JSON line.
+    # The headline must survive any secondary failing (a fresh compile
+    # cache or a mode-specific regression must not cost the whole line).
+    headline = dict(bench_bsgs(args, emit=False))
+    # emit the headline NOW: if a later secondary is killed by a driver
+    # timeout, the last complete line still carries the flagship number
+    print(json.dumps(headline), flush=True)
+    for name, fn in (("secondary", bench_walker),
+                     ("vanity", bench_vanity),
+                     ("minikeys", bench_minikeys)):
+        try:
+            headline[name] = fn(args, emit=False)
+        except Exception as exc:                    # noqa: BLE001
+            headline[name] = {"error": f"{type(exc).__name__}: {exc}"}
     print(json.dumps(headline), flush=True)
     return 0
 

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import field, u256
-from .pallas_field import _mul_mod_p
+from .pallas_field import _mul_mod_p, _sqr_mod_p
 from ..ref import ecc
 
 U32 = jnp.uint32
@@ -49,8 +49,9 @@ U32 = jnp.uint32
 #: lanes per grid block (rows of 128). The binding constraint is VMEM:
 #: the two emission blocks hold S*R*8*128*4 bytes EACH (R=8, S=16 ->
 #: 2 MB each); R=32 overflows VMEM and the kernel collapses ~50x
-#: (measured 1.8 s/call vs 37 ms).
-_ROWS = 8
+#: (measured 1.8 s/call vs 37 ms). Overridable for geometry sweeps.
+import os as _os
+_ROWS = int(_os.environ.get("KEYHUNT_TPU_JACROWS", "8"))
 
 
 def _kconst(v: int, batch):
@@ -78,7 +79,7 @@ def _madd_const(X, Y, Z, cx, cy, gx, gy):
     a flag slot on every subsequent step. Value-level: usable both inside
     the Pallas kernel (via pallas_field's `_mul_mod_p`) and in the jnp
     reference path."""
-    mul, sqr = _mul_mod_p, lambda a: _mul_mod_p(a, a)
+    mul, sqr = _mul_mod_p, _sqr_mod_p
     z2 = sqr(Z)
     z3 = mul(z2, Z)
     u2 = mul(cx, z2)

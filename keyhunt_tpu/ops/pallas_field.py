@@ -93,6 +93,54 @@ def _conv_halves(a, b):
     return even, odd
 
 
+def _conv_halves_sqr(a):
+    """Value-level squaring convolution (for code embedded in OTHER
+    kernels, e.g. the fused Jacobian giant walk, where scratch refs are
+    not available): pairs (i, j) and (j, i) contribute identically, so
+    only j >= i is computed and the off-diagonal tail doubled — 144
+    half-multiplies instead of 256 (same trick as
+    `_accumulate_conv_sqr`, accumulate-by-padding like `_conv_halves`)."""
+    batch = a.shape[1:]
+    even = jnp.zeros((17,) + batch, U32)
+    odd = jnp.zeros((16,) + batch, U32)
+    zrow = jnp.zeros((1,) + batch, U32)
+
+    def pad_to(p, lead, total):
+        segs = []
+        if lead:
+            segs.append(jnp.broadcast_to(zrow, (lead,) + batch))
+        segs.append(p)
+        tail = total - lead - p.shape[0]
+        if tail:
+            segs.append(jnp.broadcast_to(zrow, (tail,) + batch))
+        return jnp.concatenate(segs, axis=0)
+
+    for i in range(8):
+        tail = a[i:]
+        alo_i, ahi_i = a[i] & M16, a[i] >> 16
+        blo, bhi = tail & M16, tail >> 16
+        p_ll = alo_i * blo
+        p_lh = alo_i * bhi
+        p_hl = ahi_i * blo
+        p_hh = ahi_i * bhi
+        e_i = p_ll & M16
+        o_i = (p_ll >> 16) + (p_lh & M16) + (p_hl & M16)
+        e_i1 = (p_lh >> 16) + (p_hl >> 16) + (p_hh & M16)
+        o_i1 = p_hh >> 16
+        if i < 7:
+            dbl = jnp.concatenate(
+                [jnp.zeros((1,) + e_i.shape[1:], U32),
+                 jnp.ones((8 - i - 1,) + e_i.shape[1:], U32)])
+            e_i = e_i + e_i * dbl
+            o_i = o_i + o_i * dbl
+            e_i1 = e_i1 + e_i1 * dbl
+            o_i1 = o_i1 + o_i1 * dbl
+        k = 2 * i                 # column of the (i, i) term is i + j = 2i
+        even = even + pad_to(e_i, k, 17) + pad_to(e_i1, k + 1, 17)
+        odd = odd + pad_to(o_i, k, 16) + pad_to(o_i1, k + 1, 16)
+    return even, odd
+
+
 def _finish(even, odd):
     """Fold the 33 half-columns mod p and pack to (8, T) uint32 limbs.
     Rows are kept (1, T)-shaped throughout (Mosaic-friendly 2-D ops)."""
@@ -162,6 +210,14 @@ def _mul_mod_p(a, b):
     """Pure-jnp core: (8, T) x (8, T) -> (8, T), mod p, lazy (< 2^256).
     The XLA/test path; the kernel uses scratch refs for the conv stage."""
     even, odd = _conv_halves(a, b)
+    return _finish(even, odd)
+
+
+def _sqr_mod_p(a):
+    """Value-level squaring core: 144 half-products instead of 256 (for
+    embedding in other kernels — the fused giant walk squares 3 of its
+    11 modmuls per step)."""
+    even, odd = _conv_halves_sqr(a)
     return _finish(even, odd)
 
 
