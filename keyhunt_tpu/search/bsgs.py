@@ -719,7 +719,7 @@ class BsgsEngine:
             self._pos_to_j = sub.pos_to_j
             self.step_fn = make_giant_step_fn(
                 self.cfg, len(self.targets), shift,
-                flat_maxlen=getattr(sub, "maxlen", None))
+                flat_maxlen=getattr(sub, "flat_maxlen", None))
 
     def _dispatch(self, state):
         """One device call. Returns (new_state, payload): payload is the

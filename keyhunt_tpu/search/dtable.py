@@ -10,20 +10,26 @@ cost instead of optimizing it: the baby table is built entirely in HBM
 by the same batched EC walk that powers the search, with NO sort over m
 and NO host arrays.
 
-Layout: two FLAT (nb*maxlen,) uint32 slabs, direct-indexed by bucket
-(= w0 >> shift, exactly like ops.match.build_buckets_packed; kept 1-D
-because XLA's 2-D scatter lowering inserts a full flattening reshape of
-the operand — a slab-sized relayout temp that OOMs a 16 GB chip at
-m=2^30, seen in the allocation report — while 1-D scatters update in
-place):
+Layout: two uint32 slabs, direct-indexed by bucket (= w0 >> shift,
+exactly like ops.match.build_buckets_packed):
 - res_slab: the 32-bit fragment residual (bucket-implied bits dropped);
 - j_slab: the baby index j-1 for that slot (0xFFFFFFFF = empty).
 
-Probes reuse `match.probe_buckets_packed` unchanged; a hit's padded
-position is decoded by ONE device gather of j_slab (no host permutation).
-The j slab doubles the per-slot bytes vs the host-packed layout (8 B/slot
--> m=2^30 in ~13 GiB), the price of sort-free construction and instant
-position decode.
+The slabs are BUILT flat (nb*maxlen,): XLA's 2-D scatter lowering
+inserts a full flattening reshape of the operand — a slab-sized relayout
+temp that OOMs a 16 GB chip at m=2^30, seen in the allocation report —
+while 1-D scatters update in place. After the build, res_slab is
+reshaped ONCE to (nb, maxlen): maxlen is lane-aligned (a multiple of
+128), so the split is a layout-preserving bitcast, and every search
+probe then uses the fast 2-D row gather (`match.probe_buckets_packed`)
+instead of the windowed flat gather, which measured ~30x slower on the
+chip (MARQUEE r4 (f)). j_slab stays flat — it is only ever indexed by
+single padded positions on hits.
+
+A hit's padded position is decoded by ONE device gather of j_slab (no
+host permutation). The j slab doubles the per-slot bytes vs the
+host-packed layout (8 B/slot -> m=2^30 in ~13 GiB), the price of
+sort-free construction and instant position decode.
 
 Construction per batch (one jitted, donated step — `_build_step`):
 1. walk A*W*S points with the shared-inverse group trick
@@ -91,11 +97,22 @@ class DeviceTable:
     def __init__(self, m: int, res_slab, j_slab, shift: int, maxlen: int,
                  overflow: int = 0):
         self.m = m
-        self.res_slab = res_slab          # device FLAT (nb*maxlen,) uint32
+        # device uint32 residuals: (nb, maxlen) after the post-build
+        # reshape (fast row-gather probe), or FLAT (nb*maxlen,) if the
+        # caller kept the build layout (rows2d=False)
+        self.res_slab = res_slab
         self.j_slab = j_slab              # device FLAT (nb*maxlen,) uint32
         self.shift = shift
         self.maxlen = maxlen
         self.overflow = overflow
+
+    @property
+    def flat_maxlen(self) -> int | None:
+        """maxlen when the slab still needs the windowed FLAT probe
+        (`match.probe_buckets_packed_flat`); None once 2-D (the fast
+        row-gather probe applies). BsgsEngine keys the probe choice on
+        this."""
+        return self.maxlen if self.res_slab.ndim == 1 else None
 
     def device_packed(self, avg: int | None = None):
         return self.res_slab, None, self.shift
@@ -181,8 +198,14 @@ def _build_step(A: int, W: int, S: int, shift: int, maxlen: int, nb: int):
 
 def build_device_table(m: int, pivots: int = 64, width: int = 2048,
                        steps: int = 4, avg: int = 256,
-                       progress: bool = False) -> DeviceTable:
-    """Build the j*G table for j = 1..m entirely in device memory."""
+                       progress: bool = False,
+                       rows2d: bool = True) -> DeviceTable:
+    """Build the j*G table for j = 1..m entirely in device memory.
+
+    rows2d: reshape the finished residual slab to (nb, maxlen) for the
+    fast 2-D row-gather probe (default; maxlen is lane-aligned so the
+    reshape is a layout-preserving bitcast, donated either way).
+    rows2d=False keeps the raw flat build layout (tests / fallback)."""
     A, W, S = pivots, width, steps
     span = A * W * S
     assert m > W + 1, "tiny tables: use build_baby_table (host path)"
@@ -242,5 +265,10 @@ def build_device_table(m: int, pivots: int = 64, width: int = 2048,
     if overflow:
         print(f"[W] device table dropped {overflow} entries to bucket "
               "overflow — rebuild with a larger avg", flush=True)
+    if rows2d:
+        # one donated reshape to the row-gather probe layout; maxlen is a
+        # multiple of 128, so this is a bitcast, not a slab-sized copy
+        res = jax.jit(lambda s: s.reshape(nb, maxlen),
+                      donate_argnums=0)(res)
     return DeviceTable(m=m, res_slab=res, j_slab=jsl, shift=shift,
                        maxlen=maxlen, overflow=overflow)

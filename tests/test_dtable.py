@@ -51,8 +51,25 @@ def test_dtable_holds_every_baby(dtbl):
 
 
 def test_dtable_probe_and_decode(dtbl):
-    # probing the fragment of any jG must hit and decode back to j
+    # default build is 2-D (row-gather probe layout) with flat j decode
+    assert dtbl.res_slab.ndim == 2 and dtbl.flat_maxlen is None
     for j in (1, 33, 100, 511, 512):
+        x = ecc.pubkey(j)[0]
+        w0 = np.uint32((x >> 224) & 0xFFFFFFFF)
+        w1 = np.uint32((x >> 192) & 0xFFFFFFFF)
+        hit, pos = match.probe_buckets_packed(
+            jnp.asarray(dtbl.res_slab), jnp.asarray([w0]),
+            jnp.asarray([w1]), dtbl.shift)
+        assert bool(np.asarray(hit)[0])
+        assert dtbl.pos_to_j(int(np.asarray(pos)[0])) == j
+
+
+def test_dtable_flat_layout_probe():
+    # rows2d=False keeps the build layout; the windowed flat probe and
+    # the engine's flat_maxlen routing must still work
+    dtbl = build_device_table(M, avg=32, rows2d=False, **GEO)
+    assert dtbl.res_slab.ndim == 1 and dtbl.flat_maxlen == dtbl.maxlen
+    for j in (1, 100, 512):
         x = ecc.pubkey(j)[0]
         w0 = np.uint32((x >> 224) & 0xFFFFFFFF)
         w1 = np.uint32((x >> 192) & 0xFFFFFFFF)
