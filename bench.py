@@ -276,8 +276,9 @@ def main(argv=None) -> int:
                          "headline; the m=2^30 table + packed sidecar "
                          "persist in --tmpdir, so only the first-ever run "
                          "pays the build)")
-    ap.add_argument("--lanes", type=int, default=32768,
-                    help="bsgs: giant lanes")
+    ap.add_argument("--lanes", type=int, default=131072,
+                    help="bsgs: giant lanes (131072 x 16 steps is the r4 "
+                         "measured optimum — see search.bsgs.auto_lanes)")
     ap.add_argument("--steps", type=int, default=16, help="bsgs inner steps")
     ap.add_argument("--pivots", type=int, default=64)
     ap.add_argument("--width", type=int, default=4096)

@@ -47,11 +47,20 @@ from ..ref import ecc
 U32 = jnp.uint32
 
 #: lanes per grid block (rows of 128). The binding constraint is VMEM:
-#: the two emission blocks hold S*R*8*128*4 bytes EACH (R=8, S=16 ->
-#: 2 MB each); R=32 overflows VMEM and the kernel collapses ~50x
-#: (measured 1.8 s/call vs 37 ms). Overridable for geometry sweeps.
+#: the two emission blocks hold S*R*8*128*4 bytes EACH; past ~S*R = 256
+#: the kernel spills and collapses ~50x (measured 1.8 s/call vs 37 ms at
+#: S=16, R=32). Bigger R amortizes VPU op-issue latency over more lanes
+#: (every mul row-op inside the kernel works on R*128 elements), so the
+#: default scales R to the S budget. KEYHUNT_TPU_JACROWS overrides; read
+#: per call, so geometry sweeps can vary it in-process.
 import os as _os
-_ROWS = int(_os.environ.get("KEYHUNT_TPU_JACROWS", "8"))
+
+
+def _rows_for(steps: int) -> int:
+    env = _os.environ.get("KEYHUNT_TPU_JACROWS")
+    if env:
+        return int(env)
+    return max(min(128 // max(steps, 1), 64), 1)
 
 
 def _kconst(v: int, batch):
@@ -137,8 +146,8 @@ def _scan_kernel_body(steps: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _scan_call(total: int, steps: int, interpret: bool):
-    rows = min(_ROWS, total // 128)
+def _scan_call(total: int, steps: int, interpret: bool, rows: int):
+    rows = min(rows, total // 128)
     grid = total // (rows * 128)
     st = pl.BlockSpec((8, rows, 128), lambda i: (0, i, 0),
                       memory_space=pltpu.VMEM)
@@ -173,7 +182,7 @@ def giant_scan_pallas(X, Y, Z, cx_int: int, cy_int: int, steps: int,
     degen a (S, L) uint32 mask. L must be a multiple of 128."""
     L = X.shape[1]
     assert L % 128 == 0, "lane count must be a multiple of 128"
-    call = _scan_call(L, steps, interpret)
+    call = _scan_call(L, steps, interpret, _rows_for(steps))
     cx = jnp.asarray(_const_rows(cx_int))
     cy = jnp.asarray(_const_rows(cy_int))
     gx = jnp.asarray(_const_rows(ecc.G[0]))

@@ -967,17 +967,22 @@ class BsgsEngine:
 # ---------------------------------------------------------------------------
 
 def auto_lanes(m: int, steps: int, start: int, end: int,
-               cap: int = 32768, n_targets: int = 1) -> int:
+               cap: int = 131072, n_targets: int = 1) -> int:
     """Range-based giant-lane sizing: cover [start, end] in one dispatch
     when the range allows, capped at the tuned chip geometry. Results are
-    powers of two in [256, cap], so at most ~8 distinct compiles exist per
-    (m, steps) — the daemon auto-sizes per query and still reuses the jit
-    cache (VERDICT r3 weak #6).
+    powers of two in [256, cap], so at most ~10 distinct compiles exist
+    per (m, steps) — the daemon auto-sizes per query and still reuses the
+    jit cache (VERDICT r3 weak #6).
 
     The cap applies to the TOTAL device batch (T targets x B lanes share
-    one dispatch): 16 targets at the full 32768 would be a 0.5M-lane
-    batch whose emission buffers alone exceed HBM next to a resident
-    m=2^30 table."""
+    one dispatch). 131072 lanes x 16 steps is the r4 measured optimum at
+    m=2^30 (30.0 M giant points/s vs 16.7 M at 32768 lanes: per-call cost
+    has an ~18 ms fixed floor on this runtime, so bigger dispatches win
+    almost linearly until the ~26 ns/point marginal cost takes over). The
+    second bound caps TOTAL PROBE QUERIES (steps*lanes) at 2^21 — the
+    2.1 M-query probe compiles and runs; 4.2 M-query geometries fail in
+    the TPU compile helper (measured r4, tools/bench_jacgeo.py)."""
+    cap = min(cap, max((1 << 21) // max(steps, 1), 256))
     cap = max(cap // max(n_targets, 1), 256)
     want = max((end - start) // (2 * m * max(steps, 1)) + 1, 1)
     return max(256, min(cap, 1 << (want - 1).bit_length()))

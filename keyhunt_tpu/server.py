@@ -29,7 +29,7 @@ class BsgsdServer:
     def __init__(self, tbl: BabyTable, host: str = "127.0.0.1", port: int = 8080,
                  lanes: int = 0, steps: int = 16, quiet: bool = True,
                  result_path: str = "KEYFOUNDKEYFOUND.txt",
-                 devices: int | None = None, max_lanes: int = 32768):
+                 devices: int | None = None, max_lanes: int = 131072):
         self.tbl = tbl
         self.host, self.port = host, port
         # lanes <= 0: auto-size per query to the requested range (powers
@@ -205,7 +205,7 @@ def main(argv=None) -> int:
     ap.add_argument("--lanes", type=int, default=0,
                     help="giant lanes per query (0 = auto-size to each "
                          "request's range, capped at --max-lanes)")
-    ap.add_argument("--max-lanes", type=int, default=32768)
+    ap.add_argument("--max-lanes", type=int, default=131072)
     # 16 inner steps is the tuned chip geometry (a warm m=2^30 puzzle-63
     # query measured 194.7 s at steps=8 vs ~123 s at 16: per-call overhead
     # halves when each dispatch covers twice the keys)
