@@ -127,3 +127,20 @@ def test_create_mapped_flag_parses():
     args = p.parse_args(["-m", "bsgs", "-f", "x.txt",
                          "--create-mapped=1048576"])
     assert args.create_mapped == "1048576"
+
+
+def test_auto_lanes_bounds():
+    from keyhunt_tpu.search.bsgs import auto_lanes
+    m = 1 << 30
+    huge = 1 << 64
+    # tuned chip cap: 131072 total lanes at 16 steps (2^21 probe queries)
+    assert auto_lanes(m, 16, 0, huge) == 131072
+    # the probe-query ceiling (steps*lanes <= 2^21) binds at higher steps
+    assert auto_lanes(m, 32, 0, huge) * 32 <= 1 << 21
+    assert auto_lanes(m, 64, 0, huge) * 64 <= 1 << 21
+    # the cap is TOTAL across targets
+    assert auto_lanes(m, 16, 0, huge, n_targets=16) == 131072 // 16
+    # small ranges size down to cover the range in one dispatch
+    assert auto_lanes(m, 16, 0, 2 * m * 16 * 256 - 1) == 256
+    # floor
+    assert auto_lanes(m, 16, 0, 1) == 256
