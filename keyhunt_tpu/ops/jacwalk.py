@@ -59,7 +59,8 @@ import os as _os
 def _rows_for(steps: int) -> int:
     env = _os.environ.get("KEYHUNT_TPU_JACROWS")
     if env:
-        return int(env)
+        # clamp: 0 would zero the grid divisor, negatives are garbage
+        return max(int(env), 1)
     return max(min(128 // max(steps, 1), 64), 1)
 
 
@@ -147,8 +148,14 @@ def _scan_kernel_body(steps: int):
 
 @functools.lru_cache(maxsize=None)
 def _scan_call(total: int, steps: int, interpret: bool, rows: int):
-    rows = min(rows, total // 128)
-    grid = total // (rows * 128)
+    # the grid must cover total//128 lane rows EXACTLY: a non-dividing
+    # `rows` would truncate the grid and silently never walk the trailing
+    # lane blocks — shrink to the largest divisor of total//128 instead
+    n_rows = total // 128
+    rows = min(rows, n_rows)
+    while n_rows % rows:
+        rows -= 1
+    grid = n_rows // rows
     st = pl.BlockSpec((8, rows, 128), lambda i: (0, i, 0),
                       memory_space=pltpu.VMEM)
     # emissions are (8, S, rows, 128): step-major within each lane row so

@@ -58,14 +58,17 @@ def fast_put(arr, verify: bool = True):
     """Host array -> device array via CHUNKED CONCURRENT transfers.
 
     On the tunneled runtime a single device_put of a multi-GB array
-    crawls at ~25 MB/s (the transfer serializes through small windows),
-    but ~32 MB chunks issued back-to-back pipeline at >1.3 GB/s — 53x,
-    measured on a 256 MB probe. This is what makes multi-GB cached baby
-    tables loadable in seconds instead of minutes (a 5.5 GiB slab:
-    223 s -> ~5 s). The chunks are concatenated on device (transient 2x
-    footprint) and, with verify=True, a device checksum is fetched and
-    compared against the host's — guarding against any async-transfer
-    short-read on the experimental runtime."""
+    crawls at ~25 MB/s (the transfer serializes through small windows).
+    ~32 MB chunks staged back-to-back ENQUEUE at >1 GB/s, but the real
+    checksum-verified throughput is ~30-45 MB/s (r4 measurement,
+    PARITY.md "tunnel transfer facts" — the naive probe's 1.3 GB/s was an
+    enqueue-rate illusion); the m=2^30 packed slab (5.5 GiB) uploads in
+    ~190 s here vs >220 s monolithic. The win is modest on this tunnel
+    and real on production hosts, and the staged+donated assembly bounds
+    peak HBM at buffer + one batch (a device-side concatenate needs 2x
+    the array and OOMs a 16 GB chip). With verify=True a device checksum
+    is fetched and compared against the host's — guarding against any
+    async-transfer short-read on the experimental runtime."""
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -725,8 +725,9 @@ class BsgsEngine:
         """One device call. Returns (new_state, payload): payload is the
         packed uint32 vector on the single-device path (see
         make_giant_step_fn._pack) or the (lanes, jsel, counts, flags)
-        tuple on the sharded path. Single-device state is Jacobian
-        (X, Y, Z); the sharded path still walks affine (px, py)."""
+        tuple on the sharded path. Both paths walk Jacobian (X, Y, Z)
+        state through the fused jacwalk kernel (the sharded port landed
+        in r4, parallel/bsgs_sharded.py)."""
         if self._base is not None:
             out = self.step_fn(*state, self._slab, self._base)
             return out[:3], out[3]
@@ -984,8 +985,21 @@ def auto_lanes(m: int, steps: int, start: int, end: int,
     the TPU compile helper (measured r4, tools/bench_jacgeo.py)."""
     cap = min(cap, max((1 << 21) // max(steps, 1), 256))
     cap = max(cap // max(n_targets, 1), 256)
+    # keep the cap a power of two: non-pow2 steps or target counts leave a
+    # non-pow2 quotient, and a non-pow2 lane total trips giant_scan's L%128
+    cap = 1 << (cap.bit_length() - 1)
     want = max((end - start) // (2 * m * max(steps, 1)) + 1, 1)
-    return max(256, min(cap, 1 << (want - 1).bit_length()))
+    lanes = max(256, min(cap, 1 << (want - 1).bit_length()))
+    # the 256-lane floor can push the TOTAL query count back over the
+    # 2^21/call toolchain ceiling (many targets and/or huge steps):
+    # dispatching that geometry fails in the TPU compile helper, so fail
+    # loudly here — run_bsgs_cli lowers `steps` and retries.
+    if steps * n_targets * lanes > (1 << 21):
+        raise ValueError(
+            f"probe-query count {steps * n_targets * lanes} exceeds the "
+            f"2^21/call ceiling ({n_targets} targets x {lanes} lanes x "
+            f"{steps} steps); reduce --steps (or split the target set)")
+    return lanes
 
 
 def derive_m(n_value: int | None, k: int) -> int:
@@ -1055,7 +1069,17 @@ def run_bsgs_cli(args) -> int:
     steps = max(int(getattr(args, "steps", 16) or 16), 1)
     lanes = int(getattr(args, "lanes", 0) or 0)
     if lanes <= 0:
-        lanes = auto_lanes(m, steps, start, end, n_targets=len(pts))
+        while True:
+            try:
+                lanes = auto_lanes(m, steps, start, end, n_targets=len(pts))
+                break
+            except ValueError as e:
+                # the 256-lane floor x target count exceeds the 2^21
+                # queries/call ceiling: shed steps first, then give up
+                if steps > 1:
+                    steps = max(steps // 2, 1)
+                    continue
+                raise SystemExit(f"[E] {e}")
     cfg = BsgsConfig(m=m, lanes=lanes, steps=steps, scheduler=scheduler,
                      block_count=getattr(args, "bsgs_block_count", 0),
                      block_size=getattr(args, "bsgs_block_size", 0),
