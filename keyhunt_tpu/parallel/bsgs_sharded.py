@@ -42,7 +42,7 @@ U32 = jnp.uint32
 
 
 def shard_buckets_packed(tbl: BabyTable, n_devices: int,
-                         avg: int | None = None):
+                         avg: int | None = None, parts: int = 1):
     """Split the packed bucket slab by BUCKET INDEX into D equal stacks:
     device d owns buckets [d*per, (d+1)*per). Bucket index is
     `w0 >> shift`, so query routing is a shift+compare — the TPU reading
@@ -50,20 +50,29 @@ def shard_buckets_packed(tbl: BabyTable, n_devices: int,
     (`keyhunt.cpp:1704-1718`). If the table has fewer buckets than
     devices, sentinel rows pad the tail shards (they never match).
 
-    Returns (slab, starts, shift) with slab shaped (D, per, maxlen);
-    starts is the GLOBAL bucket prefix (host RAM, consulted via
-    decode_packed_pos only for rare hits)."""
+    With parts > 1 (the over-HBM regime COMPOSED with mesh sharding —
+    aggregate HBM x partition sweeps), each device's contiguous bucket
+    range is further split into `parts` contiguous pieces: pass p keeps
+    piece p of EVERY device resident, so any bucket lives on at most one
+    device in any pass (the psum combine stays exact) and P sweeps cover
+    the whole table.
+
+    Returns (slab, starts, shift) with slab shaped (D, parts, per,
+    maxlen) — slice [:, p] for pass p; device d's piece p holds global
+    bucket rows [d*parts*per + p*per, d*parts*per + (p+1)*per). starts is
+    the GLOBAL bucket prefix (host RAM, consulted via decode_packed_pos
+    only for rare hits)."""
     slab, starts, shift = tbl.packed(avg)
     slab = np.asarray(slab)
     nb, maxlen = slab.shape
-    if nb < n_devices:
-        pad = n_devices - nb
+    chunks = n_devices * max(parts, 1)
+    if nb % chunks:
+        pad = chunks - nb % chunks
         fill = np.full((pad, maxlen), 0xFFFFFFFF, np.uint32)
         slab = np.concatenate([slab, fill])
-        nb = n_devices
-    assert nb % n_devices == 0            # both are powers of two
-    per = nb // n_devices
-    return slab.reshape(n_devices, per, maxlen), starts, shift
+        nb += pad
+    per = nb // chunks
+    return slab.reshape(n_devices, max(parts, 1), per, maxlen), starts, shift
 
 
 #: compiled sharded steppers keyed by everything shape/geometry-relevant —
@@ -73,8 +82,14 @@ _STEPPER_CACHE: dict = {}
 
 
 def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
-                     per: int, maxlen: int, shift: int):
-    key = (cfg, n_targets, mesh, per, maxlen, shift)
+                     per: int, maxlen: int, shift: int,
+                     dev_stride: int | None = None):
+    """dev_stride: global buckets between consecutive devices' first rows
+    (= per when the whole table is resident; per*parts when composed with
+    table partitions). The partition base rides as a RUNTIME (1,) int32
+    arg, so all P partition passes share ONE compile."""
+    dev_stride = per if dev_stride is None else dev_stride
+    key = (cfg, n_targets, mesh, per, maxlen, shift, dev_stride)
     hit = _STEPPER_CACHE.get(key)
     if hit is not None:
         return hit
@@ -84,7 +99,7 @@ def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
     adv = ecc.ec_mul(D * B * cfg.stride)       # global advance per step
     negadv = ecc.ec_neg(adv)
 
-    def local_step(slab, X, Y, Z):
+    def local_step(slab, pbase, X, Y, Z):
         # X/Y/Z: (8, Ll) local Jacobian lanes; slab: (per, maxlen) local
         # packed bucket rows. The fused kernel emits all S steps' (X, Z);
         # ONE deferred local inversion converts them to affine fragments.
@@ -112,9 +127,10 @@ def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
         w0 = qall[:, 0, :].reshape(D, S, Ll).transpose(1, 0, 2).reshape(-1)
         w1 = qall[:, 1, :].reshape(D, S, Ll).transpose(1, 0, 2).reshape(-1)
 
-        # packed probe against the local shard (global rows [my*per, ...))
+        # packed probe against the local shard: this device's resident
+        # rows cover global buckets [my*dev_stride + pbase, ... + per)
         hit_l, gpos = match.probe_buckets_packed_ranged(
-            slab, w0, w1, shift, my * np.int32(per))
+            slab, w0, w1, shift, my * np.int32(dev_stride) + pbase[0])
         hit = jax.lax.psum(hit_l.astype(jnp.int32), AXIS) > 0
         # a fragment lives in exactly one bucket shard: psum is a select
         pos_all = jax.lax.psum(jnp.where(hit_l, gpos + np.uint32(1),
@@ -132,7 +148,7 @@ def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
         return Xo, Yo, Zo, lanes, jout, count[None], flags_all
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(AXIS, None, None),
+             in_specs=(P(AXIS, None, None), P(None),
                        P(None, AXIS), P(None, AXIS), P(None, AXIS)),
              out_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS),
                         P(), P(), P(), P()),
@@ -140,22 +156,30 @@ def _sharded_stepper(cfg: BsgsConfig, n_targets: int, mesh: Mesh,
              # metadata; vma checking (default-on since jax 0.9) rejects
              # them.
              check_vma=False)
-    def stepper(slab, X, Y, Z):
-        return local_step(slab[0], X, Y, Z)
+    def stepper(slab, pbase, X, Y, Z):
+        return local_step(slab[0], pbase, X, Y, Z)
 
     sh_tab = NamedSharding(mesh, P(AXIS, None, None))
+    sh_rep = NamedSharding(mesh, P(None))
     sh_pts = NamedSharding(mesh, P(None, AXIS))
     jitted = jax.jit(stepper,
-                     in_shardings=(sh_tab, sh_pts, sh_pts, sh_pts))
+                     in_shardings=(sh_tab, sh_rep, sh_pts, sh_pts, sh_pts))
     _STEPPER_CACHE[key] = jitted
     return jitted
 
 
 def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
-                            n_targets: int = 1):
+                            n_targets: int = 1, part: int = 0,
+                            parts: int = 1):
     """SPMD giant walk over the mesh. State: Jacobian (X, Y, Z) with
     T*D*B global lanes, sharded so device d owns lanes [d*T*B, (d+1)*T*B)
     (device-major (d, t, b) flat layout — BsgsEngine._seed).
+
+    part/parts compose the over-HBM partition regime with mesh sharding
+    (aggregate-HBM x sweeps): only piece `part` of every device's bucket
+    range is resident; the engine sweeps the range once per part. The
+    partition base is a runtime arg, so all `parts` passes share one
+    compile (and one _STEPPER_CACHE entry).
 
     Outputs: (X', Y', Z', lanes, jsel, count, flags) — replicated top-K
     flat hits into the (S, Lg) query space (step-major, device-major
@@ -165,17 +189,32 @@ def make_sharded_giant_step(cfg: BsgsConfig, tbl: BabyTable, mesh: Mesh,
     (None = sentinel false positive). The slab is a runtime jit arg:
     ggsb pass switches with equal slab shapes reuse the compile."""
     from .mesh import commit_to_mesh
-    slab, starts, shift = shard_buckets_packed(tbl, mesh.devices.size)
-    per, maxlen = slab.shape[1], slab.shape[2]
-    jitted = _sharded_stepper(cfg, n_targets, mesh, per, maxlen, shift)
-    slab = commit_to_mesh(slab, mesh, P(AXIS, None, None))
+    slab4, starts, shift = shard_buckets_packed(tbl, mesh.devices.size,
+                                                parts=parts)
+    per, maxlen = slab4.shape[2], slab4.shape[3]
+    jitted = _sharded_stepper(cfg, n_targets, mesh, per, maxlen, shift,
+                              dev_stride=per * max(parts, 1))
+    slab = commit_to_mesh(np.ascontiguousarray(slab4[:, part]), mesh,
+                          P(AXIS, None, None))
+    pbase = commit_to_mesh(np.array([part * per], np.int32), mesh, P(None))
+    fn = {"impl": jitted}          # swapped for the AOT executable by warmup
+
+    def _commit(X, Y, Z):
+        return (commit_to_mesh(X, mesh, P(None, AXIS)),
+                commit_to_mesh(Y, mesh, P(None, AXIS)),
+                commit_to_mesh(Z, mesh, P(None, AXIS)))
 
     def run(X, Y, Z):
-        X = commit_to_mesh(X, mesh, P(None, AXIS))
-        Y = commit_to_mesh(Y, mesh, P(None, AXIS))
-        Z = commit_to_mesh(Z, mesh, P(None, AXIS))
-        return jitted(slab, X, Y, Z)
+        X, Y, Z = _commit(X, Y, Z)
+        return fn["impl"](slab, pbase, X, Y, Z)
+
+    def warmup(X, Y, Z):
+        """AOT-compile (no execution, no collectives) and keep the
+        executable — see parallel.mesh.make_sharded_step_fn.warmup."""
+        X, Y, Z = _commit(X, Y, Z)
+        fn["impl"] = jitted.lower(slab, pbase, X, Y, Z).compile()
 
     perm = tbl.perm
     run.pos_to_j = lambda pos: decode_packed_pos(pos, starts, maxlen, perm)
+    run.warmup = warmup
     return run

@@ -108,12 +108,24 @@ def make_sharded_step_fn(cfg: WalkerConfig, slab0, slab1, mesh: Mesh,
     jitted = jax.jit(sharded, in_shardings=(sh, sh, shr, shr))
     s0c = commit_to_mesh(np.asarray(slab0), mesh, nspec)
     s1c = commit_to_mesh(np.asarray(slab1), mesh, nspec)
+    fn = {"impl": jitted}          # swapped for the AOT executable by warmup
 
     def run(px, py):
         px = commit_to_mesh(px, mesh, P(None, AXIS))
         py = commit_to_mesh(py, mesh, P(None, AXIS))
-        return jitted(px, py, s0c, s1c)
+        return fn["impl"](px, py, s0c, s1c)
 
+    def warmup(px, py):
+        """AOT-compile this process's step WITHOUT executing it (no
+        collectives run), and keep the executable for later calls. Multi-
+        process callers pair this with runtime.sync so compile skew on
+        cold caches cannot race Gloo's ~30 s collective bring-up
+        timeout."""
+        px = commit_to_mesh(px, mesh, P(None, AXIS))
+        py = commit_to_mesh(py, mesh, P(None, AXIS))
+        fn["impl"] = jitted.lower(px, py, s0c, s1c).compile()
+
+    run.warmup = warmup
     return run
 
 

