@@ -623,7 +623,15 @@ class BsgsEngine:
         self.stats_every = stats_every
         self.matrix = matrix          # -M: scrolling lines (keyhunt.cpp:965)
         self.meter = SpeedMeter()
-        self.found: dict[int, int] = {}       # target index -> private key
+        self.found: dict[int, int] = {}   # ORIGINAL target index -> key
+        # target dropout (the reference's giant loop only walks UNFOUND
+        # targets, keyhunt.cpp:4642): when enough targets are found, the
+        # engine rebuilds with the unfound ones and wider lanes, so the
+        # freed device batch re-covers live targets instead of walking
+        # dead ones. _tmap maps current lane-target index -> original.
+        self._n_all = len(self.targets)
+        self._tmap = list(range(self._n_all))
+        self._resume_c0: int | None = None
         # device parallelism: D > 1 shards the baby table across the mesh's
         # aggregate HBM (value-range shards) and gives every device its own
         # stripe of giant lanes — SURVEY.md §5's "k-factor becomes aggregate
@@ -817,23 +825,26 @@ class BsgsEngine:
 
     def _record(self, t: int, key: int):
         key %= ecc.N
-        if t in self.found:
+        orig = self._tmap[t]
+        if orig in self.found:
             return
         if ecc.pubkey(key)[0] != self.targets[t][0]:
             return
         # fix the sign: X matches both key and N-key
         if ecc.pubkey(key) != self.targets[t]:
             key = ecc.N - key
-        self.found[t] = key
+        self.found[orig] = key
         self.sink.record(key, "btc", compressed=True)
 
     # scheduler: yields c0 for successive dispatch blocks ------------------
 
-    def _blocks(self):
+    def _blocks(self, start_c0: int | None = None):
         cfg = self.cfg
         span = self.span                    # keys per dispatch per target
         c_lo = self.start + self.cfg.m                # first stride center
-        nblocks = max((self.end - self.start + span - 1) // span, 1)
+        if start_c0 is not None:            # dropout-resize resume point
+            c_lo = start_c0
+        nblocks = max((self.end + self.cfg.m - c_lo + span - 1) // span, 1)
         mode = cfg.scheduler
         if mode == "random":
             while True:
@@ -876,11 +887,53 @@ class BsgsEngine:
         return self.n_devices * self.cfg.lanes * self.cfg.steps \
             * self.cfg.stride
 
+    def _resize_lanes(self) -> int | None:
+        """Lanes per target after dropping found targets, or None when a
+        resize would not widen the batch. Pow2, bounded by the 2^21
+        probe-queries/call toolchain ceiling (auto_lanes)."""
+        unfound = self._n_all - len(self.found)
+        if unfound < 1 or unfound >= len(self.targets):
+            return None
+        cap = (1 << 21) // max(self.cfg.steps * unfound, 1)
+        new_b = 1 << max(cap.bit_length() - 1, 0)
+        # don't build lanes a small remaining range can never use
+        want = max((self.end - self.start)
+                   // (2 * self.cfg.m * max(self.cfg.steps, 1)) + 1, 1)
+        new_b = min(new_b, max(1 << (want - 1).bit_length(), 256))
+        return new_b if new_b > self.cfg.lanes else None
+
+    def _drop_found_targets(self):
+        """Rebuild the engine around the UNFOUND targets with wider lanes
+        (the reference walks only unfound targets, keyhunt.cpp:4642; on
+        TPU the batch shape is static, so dropout is a re-jit to a
+        smaller target class — a handful of extra compiles per run,
+        amortized by the persistent cache)."""
+        import dataclasses
+        new_b = self._resize_lanes()
+        keep = [i for i, orig in enumerate(self._tmap)
+                if orig not in self.found]
+        self.targets = [self.targets[i] for i in keep]
+        self._tmap = [self._tmap[i] for i in keep]
+        self.cfg = dataclasses.replace(self.cfg, lanes=new_b)
+        self._offsets_cache = None
+        if not self.quiet:
+            print(f"\n[+] dropout: {len(self.targets)} targets left, "
+                  f"lanes -> {new_b}", flush=True)
+
     def run(self, max_seconds: float | None = None, max_keys: int | None = None):
         for tables in self._passes:
             self._set_pass(tables)
-            self._run_pass(max_seconds=max_seconds, max_keys=max_keys)
-            if len(self.found) == len(self.targets):
+            start_c0 = None
+            while True:
+                self._resume_c0 = None
+                self._run_pass(max_seconds=max_seconds, max_keys=max_keys,
+                               start_c0=start_c0)
+                if self._resume_c0 is None:
+                    break
+                start_c0 = self._resume_c0
+                self._drop_found_targets()
+                self._set_pass(tables)
+            if len(self.found) >= self._n_all:
                 break
             if max_seconds is not None and self.meter.elapsed > max_seconds:
                 break
@@ -904,22 +957,30 @@ class BsgsEngine:
         self.step_fn.warmup(*state)
         sync("bsgs-warm")
 
-    def _run_pass(self, max_seconds=None, max_keys=None):
+    def _run_pass(self, max_seconds=None, max_keys=None, start_c0=None):
         cfg = self.cfg
         span = self.span
         import time as _t
         last_stats = _t.time()
         contiguous = cfg.scheduler in ("sequential", "ggsb", "angrygiant")
+        # dropout only where "resume from here" is well-defined (a
+        # contiguous sweep); random/dance cover the range statelessly
+        can_resize = contiguous and self.n_devices == 1
         state = None
         state_c0 = None
         warmed = False
         inflight = []        # [(c0, lanes, jsel, counts, flags)] futures
-        for c0, _ in self._blocks():
-            if len(self.found) == len(self.targets):
+        for c0, _ in self._blocks(start_c0):
+            if len(self.found) >= self._n_all:
+                break
+            if can_resize and self._resize_lanes() is not None:
+                # enough targets found: hand back to run() to rebuild
+                # with the unfound set and wider lanes from state_c0 on
+                self._resume_c0 = state_c0 if state_c0 is not None else c0
                 break
             if state is None or not contiguous or state_c0 != c0:
                 state = self._seed(c0)
-                if len(self.found) == len(self.targets):
+                if len(self.found) >= self._n_all:
                     break
             if not warmed:
                 self._warm_sync(state)

@@ -217,3 +217,24 @@ def test_bsgs_partitions_reject_bad_combos():
     with _pytest.raises(ValueError, match="pick one"):
         _engine(tbl, targets, 1, 16384, table_partitions=2,
                 scheduler="ggsb")
+
+
+def test_bsgs_target_dropout_resize():
+    """Found targets drop out of the device batch (the reference only
+    walks unfound targets, keyhunt.cpp:4642): after the early key is
+    found, the engine rebuilds with the unfound targets and wider lanes
+    and still finds every key."""
+    tbl = small_table()
+    keys = [600, 12000, 15000]            # one early, two late
+    targets = [ecc.pubkey(k) for k in keys]
+    # small span (lanes=2, steps=1 -> 1024 keys/dispatch) so the early
+    # key drains while plenty of range remains and the dropout can fire
+    cfg = BsgsConfig(m=tbl.m, lanes=2, steps=1)
+    tmp = tempfile.mkdtemp()
+    sink = ResultSink(path=os.path.join(tmp, "found.txt"), quiet=True)
+    eng = BsgsEngine(cfg, tbl, targets, 1, 16384, sink=sink, quiet=True)
+    found = eng.run()
+    assert sorted(found.values()) == sorted(keys)
+    # the dropout actually happened: fewer live targets, wider lanes
+    assert len(eng.targets) < len(keys)
+    assert eng.cfg.lanes > 2

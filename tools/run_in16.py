@@ -26,6 +26,8 @@ def main() -> int:
     ap.add_argument("--file", default="/root/reference/tests/in.txt")
     ap.add_argument("--tmpdir",
                     default=os.path.expanduser("~/.cache/keyhunt_tpu"))
+    ap.add_argument("--m", type=int, default=1 << 30,
+                    help="baby table size (cached table required)")
     ap.add_argument("--lanes", type=int, default=4096,
                     help="giant lanes PER TARGET")
     ap.add_argument("--steps", type=int, default=16)
@@ -40,13 +42,13 @@ def main() -> int:
     from keyhunt_tpu.search.bsgs import (BsgsConfig, BsgsEngine, load_table,
                                          table_path)
 
-    m = 1 << 30
+    m = args.m
     pts = tio.load_pubkeys_file(args.file)
-    print(f"[in16] {len(pts)} pubkeys, m=2^30, lanes={args.lanes}/target, "
-          f"steps={args.steps}", flush=True)
+    print(f"[in16] {len(pts)} pubkeys, m=2^{m.bit_length()-1}, "
+          f"lanes={args.lanes}/target, steps={args.steps}", flush=True)
     t0 = time.time()
     tbl = load_table(m, path=table_path(m, args.tmpdir), verify=False)
-    assert tbl is not None, "cached m=2^30 table required (bench.py builds it)"
+    assert tbl is not None, "cached table required (bench.py builds it)"
     print(f"[in16] table loaded in {time.time()-t0:.1f}s", flush=True)
 
     class StampSink(ResultSink):
