@@ -68,12 +68,23 @@ def bench_bsgs(args, emit=True):
         BsgsConfig, build_baby_table, load_table, save_table, table_path,
         make_giant_step_fn, seed_lanes)
 
-    cfg = BsgsConfig(m=args.m, lanes=args.lanes, steps=args.steps)
+    m = args.m
+    os.makedirs(args.tmpdir, exist_ok=True)
+    # the default m=2^31 table takes ~50 min to build from nothing on
+    # the tunneled dev runtime; when it is not cached but a smaller
+    # cached table exists, bench that instead of stalling the driver
+    if not os.path.exists(table_path(m, args.tmpdir)):
+        for alt in (1 << 30, 1 << 28, 1 << 26):
+            if alt < m and os.path.exists(table_path(alt, args.tmpdir)):
+                print(f"[bench] no cached m={m:#x} table; using cached "
+                      f"m={alt:#x}", file=sys.stderr, flush=True)
+                m = alt
+                break
+    cfg = BsgsConfig(m=m, lanes=args.lanes, steps=args.steps)
     if args.verbose:
         print(f"[bench] devices={jax.devices()} cfg={cfg}",
               file=sys.stderr, flush=True)
     t_b = time.time()
-    os.makedirs(args.tmpdir, exist_ok=True)
     path = table_path(cfg.m, args.tmpdir)
     try:
         tbl = load_table(cfg.m, path=path, verify=False)
@@ -89,9 +100,12 @@ def bench_bsgs(args, emit=True):
         print(f"[bench] baby table m=2^{cfg.m.bit_length()-1} ready in "
               f"{time.time()-t_b:.1f}s", file=sys.stderr, flush=True)
     from keyhunt_tpu.runtime import fast_put
+    from keyhunt_tpu.search.bsgs import probe_chunks_for
     slab, _starts, shift = tbl.packed()
     s_ = fast_put(slab)
-    step = make_giant_step_fn(cfg, 1, shift)
+    step = make_giant_step_fn(
+        cfg, 1, shift,
+        probe_chunks=probe_chunks_for(cfg.lanes * cfg.steps, slab.shape[1]))
     # one unreachable target point far outside the walked window
     import numpy as np
     tx, ty = ecc.pubkey((1 << 200) + 12345)
@@ -271,7 +285,7 @@ def main(argv=None) -> int:
     ap.add_argument("--mode", default="all",
                     choices=["all", "compressed", "xpoint", "uncompressed",
                              "eth", "bsgs", "minikeys", "vanity"])
-    ap.add_argument("--m", type=int, default=1 << 30,
+    ap.add_argument("--m", type=int, default=1 << 31,
                     help="bsgs: baby-table size (the density-regime "
                          "headline; the m=2^30 table + packed sidecar "
                          "persist in --tmpdir, so only the first-ever run "

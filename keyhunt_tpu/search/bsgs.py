@@ -101,11 +101,15 @@ class BabyTable:
     def default_avg(self) -> int:
         """Bucket mean for the packed slabs. Bigger avg = less Poisson-tail
         padding but a longer per-query gather row; measured on the chip at
-        m=2^28, avg=256 beat avg=32 on BOTH speed and bytes. Very large m
-        takes avg=512 to shave the pad factor where HBM is tightest."""
+        m=2^28, avg=256 beat avg=32 on BOTH speed and bytes. r5 stage
+        breakdown (tools/bench_walkparts.py at m=2^31): the probe's row
+        gather is ~76% of the dispatch and scales with maxlen, while the
+        128-lane alignment equalizes the pad factor — avg=256 (384-wide
+        rows) halves the probe reads of avg=512 (768-wide) at the SAME
+        12 GiB slab, so 256 is right at every large m."""
         if self.m <= (1 << 24):
             return 32
-        return 256 if self.m <= (1 << 30) else 512
+        return 256
 
     def packed(self, avg: int | None = None):
         """(slab, starts, shift) packed bucket slabs (4 bytes per device
@@ -123,6 +127,19 @@ class BabyTable:
             trip = match.build_buckets_packed(np.asarray(self.t0),
                                               np.asarray(self.t1), avg=avg)
             self._save_packed_sidecar(avg, trip)
+        slab, starts, shift = trip
+        if slab.shape[1] % 128 and slab.size * 4 >= (1 << 30):
+            # lane-align maxlen for multi-GiB slabs: a non-128-multiple
+            # minor dim makes XLA relayout the resident slab into a
+            # padded HLO temp AS BIG AS THE SLAB (measured: the m=2^31
+            # maxlen=643 slab compiled a 12.0 GiB copy and OOM'd the
+            # chip); padding on host makes the upload layout-exact.
+            # Sentinel pad slots only ever CAUSE false positives, and
+            # pos decode uses the padded maxlen everywhere.
+            pad = 128 - slab.shape[1] % 128
+            slab = np.pad(np.asarray(slab), ((0, 0), (0, pad)),
+                          constant_values=0xFFFFFFFF)
+            trip = (slab, starts, shift)
         self._packed = (avg, trip)
         return trip
 
@@ -461,9 +478,23 @@ def bucket_partitions(tbl: BabyTable, parts: int):
     return out, starts, shift
 
 
+def probe_chunks_for(queries: int, maxlen: int,
+                     budget_bytes: int = 3 << 29) -> int:
+    """Sequential probe chunks so the row-gather temp (queries x maxlen
+    x 4 B — XLA materializes it) stays under ~1.5 GiB: at m=2^31 the
+    full 2^21 x 768 gather is 6 GiB and OOMs next to the 12 GiB slab.
+    Power of two (queries are), 1 = unchunked."""
+    rows_bytes = queries * maxlen * 4
+    chunks = 1
+    while rows_bytes // chunks > budget_bytes and chunks < queries:
+        chunks *= 2
+    return chunks
+
+
 @functools.lru_cache(maxsize=None)
 def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
-                       ranged: bool = False, flat_maxlen: int | None = None):
+                       ranged: bool = False, flat_maxlen: int | None = None,
+                       probe_chunks: int = 1):
     """Jitted giant walk: state (X, Y, Z) of T*B JACOBIAN lanes; the fused
     scan kernel (ops.jacwalk) advances every lane by -(B*2m)*G per inner
     step WITHOUT any inversion, stacking each step's (X, Z); ONE deferred
@@ -516,6 +547,17 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
             count.astype(jnp.uint32).reshape(1),
             flags.astype(jnp.uint32).reshape(-1)])
 
+    def _chunked(probe, w0, w1):
+        """Probe in `probe_chunks` sequential slices (lax.map) so the
+        row-gather temp is bounded (probe_chunks_for)."""
+        if probe_chunks <= 1:
+            return probe(w0, w1)
+        Q = w0.shape[0]
+        c = probe_chunks
+        h, p = jax.lax.map(lambda ab: probe(ab[0], ab[1]),
+                           (w0.reshape(c, Q // c), w1.reshape(c, Q // c)))
+        return h.reshape(Q), p.reshape(Q)
+
     def run(X, Y, Z, slab):
         Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
         if isinstance(slab, tuple):
@@ -523,25 +565,32 @@ def make_giant_step_fn(cfg: BsgsConfig, n_targets: int, shift: int = 4,
             # past the int32 flat-scatter ceiling, search.dtable): two
             # ranged probes OR-combined; pos is global in both
             lo, hi = slab
-            hit0, pos0 = match.probe_buckets_packed_ranged(
-                lo, w0, w1, shift, jnp.int32(0))
-            hit1, pos1 = match.probe_buckets_packed_ranged(
-                hi, w0, w1, shift, jnp.int32(lo.shape[0]))
-            hit = hit0 | hit1
-            pos = jnp.where(hit1, pos1, pos0)
+
+            def probe2(a, b):
+                h0, p0 = match.probe_buckets_packed_ranged(
+                    lo, a, b, shift, jnp.int32(0))
+                h1, p1 = match.probe_buckets_packed_ranged(
+                    hi, a, b, shift, jnp.int32(lo.shape[0]))
+                return h0 | h1, jnp.where(h1, p1, p0)
+
+            hit, pos = _chunked(probe2, w0, w1)
         elif flat_maxlen is not None:    # device-built flat slab (dtable)
-            hit, pos = match.probe_buckets_packed_flat(
-                slab, flat_maxlen, w0, w1, shift)
+            hit, pos = _chunked(
+                lambda a, b: match.probe_buckets_packed_flat(
+                    slab, flat_maxlen, a, b, shift), w0, w1)
         else:
-            hit, pos = match.probe_buckets_packed(slab, w0, w1, shift)
+            hit, pos = _chunked(
+                lambda a, b: match.probe_buckets_packed(slab, a, b, shift),
+                w0, w1)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
     def run_ranged(X, Y, Z, slab, base):
         # partition probe: slab holds global bucket rows [base, base+per)
         Xo, Yo, Zo, w0, w1, flags = walk(X, Y, Z)
-        hit, pos = match.probe_buckets_packed_ranged(slab, w0, w1, shift,
-                                                     base)
+        hit, pos = _chunked(
+            lambda a, b: match.probe_buckets_packed_ranged(
+                slab, a, b, shift, base), w0, w1)
         lanes, jsel, count = match.topk_with_payload(hit, pos, K)
         return Xo, Yo, Zo, _pack(lanes, jsel, count, flags)
 
@@ -730,7 +779,8 @@ class BsgsEngine:
             self._pos_to_j = lambda pos: decode_packed_pos(
                 pos, starts, maxlen, perm)
             self.step_fn = make_giant_step_fn(
-                self.cfg, len(self.targets), shift, ranged=True)
+                self.cfg, len(self.targets), shift, ranged=True,
+                probe_chunks=self._probe_chunks(maxlen))
             return
         _, t0, t1, perm = entry
         self._base = None
@@ -750,9 +800,18 @@ class BsgsEngine:
             # built tables (dtable) carry a FLAT slab + maxlen.
             self._slab, starts, shift = sub.device_packed()
             self._pos_to_j = sub.pos_to_j
+            s0 = self._slab[0] if isinstance(self._slab, tuple) \
+                else self._slab
+            maxlen = getattr(sub, "flat_maxlen", None) or \
+                (getattr(sub, "maxlen", None) or s0.shape[-1])
             self.step_fn = make_giant_step_fn(
                 self.cfg, len(self.targets), shift,
-                flat_maxlen=getattr(sub, "flat_maxlen", None))
+                flat_maxlen=getattr(sub, "flat_maxlen", None),
+                probe_chunks=self._probe_chunks(maxlen))
+
+    def _probe_chunks(self, maxlen: int) -> int:
+        q = self.cfg.steps * len(self.targets) * self.cfg.lanes
+        return probe_chunks_for(q, int(maxlen))
 
     def _dispatch(self, state):
         """One device call. Returns (new_state, payload): payload is the

@@ -50,7 +50,7 @@ def main() -> int:
     from keyhunt_tpu.ops import jacwalk, match, u256
     from keyhunt_tpu.ref import ecc
     from keyhunt_tpu.search.bsgs import load_table, table_path, seed_lanes, \
-        BsgsConfig
+        BsgsConfig, probe_chunks_for
 
     m, L, S = args.m, args.lanes, args.steps
     tbl = load_table(m, path=table_path(m, args.tmpdir), verify=False)
@@ -67,13 +67,24 @@ def main() -> int:
     def make_chained(K: int):
         @jax.jit
         def chained(X, Y, Z, slab):
+            chunks = probe_chunks_for(L * S, int(slab.shape[1]))
+
             def link(carry, _):
                 X, Y, Z, acc = carry
                 Xo, Yo, Zo, xs, zs, dg = jacwalk.giant_scan(
                     X, Y, Z, negadv[0], negadv[1], S)
                 xa = jacwalk.to_affine_x(xs, zs)
-                hit, pos = match.probe_buckets_packed(slab, xa[7], xa[6],
-                                                      shift)
+                if chunks > 1:
+                    Q = L * S
+                    h, p = jax.lax.map(
+                        lambda ab: match.probe_buckets_packed(
+                            slab, ab[0], ab[1], shift),
+                        (xa[7].reshape(chunks, Q // chunks),
+                         xa[6].reshape(chunks, Q // chunks)))
+                    hit, pos = h.reshape(Q), p.reshape(Q)
+                else:
+                    hit, pos = match.probe_buckets_packed(
+                        slab, xa[7], xa[6], shift)
                 lanes, jsel, count = match.topk_with_payload(hit, pos, 4)
                 # keep every stage live in one tiny accumulator
                 acc = (acc + count.astype(jnp.uint32)
