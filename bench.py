@@ -327,9 +327,18 @@ def main(argv=None) -> int:
     # emit the headline NOW: if a later secondary is killed by a driver
     # timeout, the last complete line still carries the flagship number
     print(json.dumps(headline), flush=True)
+    def walker_xpoint(a, emit=False):
+        # hash-free EC+probe walker: the points_per_sec field is the
+        # chip's EC point-adds/s evidence row (BASELINE north star)
+        import argparse as _ap
+        a2 = _ap.Namespace(**vars(a))
+        a2.mode, a2.endo = "xpoint", False
+        return bench_walker(a2, emit=emit)
+
     for name, fn in (("secondary", bench_walker),
                      ("vanity", bench_vanity),
-                     ("minikeys", bench_minikeys)):
+                     ("minikeys", bench_minikeys),
+                     ("xpoint_ec_adds", walker_xpoint)):
         try:
             headline[name] = fn(args, emit=False)
         except Exception as exc:                    # noqa: BLE001

@@ -146,8 +146,8 @@ class BabyTable:
     def device_packed(self, avg: int | None = None):
         """(slab_dev, starts, shift) with the slab device-resident, cached
         (same daemon economics as device_buckets). Multi-GB slabs ride the
-        chunked concurrent transfer (runtime.fast_put: >1.3 GB/s vs the
-        ~25 MB/s a single put crawls at on the tunneled runtime)."""
+        chunked, checksum-verified transfer (runtime.fast_put — ~30-45
+        MB/s real on the tunneled dev runtime; see its docstring)."""
         cached = getattr(self, "_dev_packed", None)
         if cached is None:
             from ..runtime import fast_put
