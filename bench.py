@@ -287,9 +287,9 @@ def main(argv=None) -> int:
                              "eth", "bsgs", "minikeys", "vanity"])
     ap.add_argument("--m", type=int, default=1 << 31,
                     help="bsgs: baby-table size (the density-regime "
-                         "headline; the m=2^30 table + packed sidecar "
-                         "persist in --tmpdir, so only the first-ever run "
-                         "pays the build)")
+                         "headline; tables + packed sidecars persist in "
+                         "--tmpdir, so only the first-ever run pays the "
+                         "build; falls back to a smaller cached table)")
     ap.add_argument("--lanes", type=int, default=131072,
                     help="bsgs: giant lanes (131072 x 16 steps is the r4 "
                          "measured optimum — see search.bsgs.auto_lanes)")
